@@ -1,0 +1,169 @@
+"""Losses (T4 in SURVEY.md §1): class-weighted cross-entropy and OHEM
+cross-entropy, both with `ignore_index` — the reference's loss surface
+(BASELINE.json north_star; SURVEY.md §2.2).
+
+Everything runs on-device inside the step program: no host sync, static
+shapes. The OHEM hard-example threshold is computed either exactly
+(`lax.top_k`) for small pixel counts or via an O(n) on-device histogram
+quantile for full-resolution maps — both stay inside the compiled step
+(SURVEY.md §7 "OHEM on device").
+
+Numeric conventions match torch `F.cross_entropy(weight=..., ignore_index=...)`:
+the mean is weighted by the per-pixel class weight (sum(w_i * l_i) / sum(w_i)),
+and ignored pixels contribute to neither numerator nor denominator.
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+
+def _per_pixel_ce(logits: jax.Array, labels: jax.Array, ignore_index: int
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Per-pixel CE loss and validity mask.
+
+    logits: (..., C) float; labels: (...) int. fp32 log-softmax for stability
+    regardless of compute dtype (bf16 logits are upcast).
+    """
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    true_logit = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    loss = logz - true_logit
+    return jnp.where(valid, loss, 0.0), valid
+
+
+def cross_entropy_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    *,
+    ignore_index: int = 255,
+    class_weights: jax.Array | None = None,
+) -> jax.Array:
+    """Class-weighted CE with ignore_index (torch F.cross_entropy parity).
+
+    logits NHWC (C = num classes), labels NHW int. Returns scalar fp32.
+    """
+    loss, valid = _per_pixel_ce(logits, labels, ignore_index)
+    if class_weights is not None:
+        cw = jnp.asarray(class_weights, dtype=jnp.float32)
+        safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+        w = jnp.where(valid, cw[safe], 0.0)
+    else:
+        w = valid.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1e-12)
+    return jnp.sum(loss * w) / denom
+
+
+def _threshold_topk_exact(losses: jax.Array, k: int) -> jax.Array:
+    """Exact k-th largest of a 1-D array via lax.top_k."""
+    vals, _ = jax.lax.top_k(losses, k)
+    return vals[-1]
+
+
+def _threshold_topk_histogram(losses: jax.Array, valid: jax.Array, k: int,
+                              bins: int = 512) -> jax.Array:
+    """k-th largest via an on-device histogram quantile — O(n), no sort.
+
+    For full-res maps (millions of pixels) `top_k` is memory/sort bound; a
+    512-bin histogram over [0, max] gives the threshold to within one bin,
+    which is ample for OHEM's "roughly the hardest k pixels" semantics.
+    Returns a *bin lower edge* ≤ exact k-th largest, so at least k pixels
+    are kept (OHEM keeps >= min_kept, matching common reference impls).
+    """
+    mx = jnp.maximum(jnp.max(jnp.where(valid, losses, 0.0)), 1e-6)
+    scaled = jnp.clip(losses / mx * bins, 0, bins - 1).astype(jnp.int32)
+    scaled = jnp.where(valid, scaled, 0)
+    hist = jnp.zeros((bins,), jnp.float32).at[scaled].add(valid.astype(jnp.float32))
+    # cumulative count from the top bin down; threshold bin = first bin where
+    # count-from-top >= k
+    from_top = jnp.cumsum(hist[::-1])[::-1]
+    keep_bin = jnp.argmax(from_top < k)  # first bin whose tail-count < k
+    keep_bin = jnp.where(jnp.all(from_top >= k), bins - 1, keep_bin)
+    thr_bin = jnp.maximum(keep_bin - 1, 0)
+    return thr_bin.astype(jnp.float32) / bins * mx
+
+
+def ohem_cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    *,
+    ignore_index: int = 255,
+    thresh: float = 0.7,
+    min_kept: int = 10_000,
+    class_weights: jax.Array | None = None,
+    exact: bool | None = None,
+) -> jax.Array:
+    """Online Hard Example Mining CE (SURVEY.md §2.2 "OHEM CE").
+
+    Keeps pixels whose true-class probability < `thresh`; if fewer than
+    `min_kept` qualify, keeps the `min_kept` hardest. Mean of kept losses
+    (weighted by class_weights when given). `min_kept` is per *global* batch.
+
+    exact=None auto-selects: exact top_k below 2^20 pixels, histogram
+    quantile above (keeps the step free of giant sorts at 1024×2048).
+    """
+    loss, valid = _per_pixel_ce(logits, labels, ignore_index)
+    flat = loss.reshape(-1)
+    vflat = valid.reshape(-1)
+    n = flat.shape[0]
+    k = min(int(min_kept), n)
+    loss_thresh = -math.log(thresh)
+
+    if exact is None:
+        exact = n <= (1 << 20)
+    if k > 0:
+        if exact:
+            kth = _threshold_topk_exact(jnp.where(vflat, flat, -jnp.inf), k)
+        else:
+            kth = _threshold_topk_histogram(flat, vflat, k)
+        threshold = jnp.minimum(jnp.asarray(loss_thresh, jnp.float32), kth)
+    else:
+        threshold = jnp.asarray(loss_thresh, jnp.float32)
+
+    keep = vflat & (flat >= threshold)
+    if class_weights is not None:
+        cw = jnp.asarray(class_weights, dtype=jnp.float32)
+        safe = jnp.where(vflat, labels.reshape(-1), 0).astype(jnp.int32)
+        w = jnp.where(keep, cw[safe], 0.0)
+    else:
+        w = keep.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1e-12)
+    return jnp.sum(flat * w) / denom
+
+
+def aux_weighted_loss(
+    main_and_aux_logits: tp.Sequence[jax.Array],
+    labels: jax.Array,
+    *,
+    loss_fn: tp.Callable[..., jax.Array] = cross_entropy_loss,
+    aux_weight: float = 0.4,
+    label_size_match: str = "resize_logits",
+    align_corners: bool = False,
+    **loss_kwargs,
+) -> jax.Array:
+    """main + aux_weight * sum(aux) — BiSeNet/ICNet aux-head training
+    (SURVEY.md §2.1 "BiSeNet"/"ICNet"). Logits whose spatial size differs
+    from the labels are bilinearly resized to the label grid first."""
+    from torch_semantic_segmentation_tpu.ops.upsample import resize_bilinear
+
+    lh, lw = labels.shape[1], labels.shape[2]
+    total = jnp.asarray(0.0, jnp.float32)
+    for i, lg in enumerate(main_and_aux_logits):
+        if lg.shape[1:3] != (lh, lw):
+            lg = resize_bilinear(lg, (lh, lw), align_corners=align_corners)
+        li = loss_fn(lg, labels, **loss_kwargs)
+        total = total + (li if i == 0 else aux_weight * li)
+    return total
+
+
+__all__ = [
+    "cross_entropy_loss",
+    "ohem_cross_entropy",
+    "aux_weighted_loss",
+]

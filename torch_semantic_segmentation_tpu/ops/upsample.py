@@ -1,0 +1,100 @@
+"""Bilinear / nearest resize with exact PyTorch semantics, as MXU matmuls.
+
+The reference (torch `F.interpolate`, SURVEY.md §2.2 "Bilinear upsample")
+supports both `align_corners=False` (torch default) and `align_corners=True`
+(common in segmentation heads). `jax.image.resize` only matches the former,
+so we implement separable 1-D interpolation as two dense matrix products
+(out = Wh @ x @ Ww^T per image/channel) — exact to torch's formula for both
+conventions and MXU-friendly: for segmentation-sized feature maps the
+(H_out, H_in) weight matrices are tiny and the resize becomes two batched
+matmuls that XLA tiles onto the systolic array, instead of a gather.
+
+Layout: NHWC throughout (TPU-native).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense 1-D linear-interpolation matrix W (out_size, in_size), float32.
+
+    Matches torch.nn.functional.interpolate(mode='bilinear'):
+      align_corners=True : src = i * (in-1) / (out-1)
+      align_corners=False: src = (i + 0.5) * in/out - 0.5, clamped to [0, in-1]
+    """
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    i = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = i * (in_size - 1) / max(out_size - 1, 1)
+    else:
+        src = (i + 0.5) * (in_size / out_size) - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float64)
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.arange(out_size)
+    np.add.at(w, (rows, lo), 1.0 - frac)
+    np.add.at(w, (rows, hi), frac)
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
+    """Nearest-neighbour source index per output position (torch 'nearest')."""
+    # torch mode='nearest': src = floor(i * in/out)
+    i = np.arange(out_size, dtype=np.float64)
+    idx = np.floor(i * (in_size / out_size)).astype(np.int32)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def resize_bilinear(
+    x: jax.Array,
+    size: tuple[int, int],
+    *,
+    align_corners: bool = False,
+) -> jax.Array:
+    """Bilinear-resize NHWC `x` to spatial `size` = (H_out, W_out).
+
+    Exact torch `F.interpolate(mode='bilinear')` parity (both align_corners
+    conventions); implemented as two matmuls (H then W) so the MXU does the
+    work. Accumulates in float32 and casts back to the input dtype.
+    """
+    n, h, w, c = x.shape
+    oh, ow = size
+    if (oh, ow) == (h, w):
+        return x
+    dtype = x.dtype
+    wh = jnp.asarray(_interp_matrix(h, oh, align_corners))
+    ww = jnp.asarray(_interp_matrix(w, ow, align_corners))
+    # (N,H,W,C) -> (N,OH,W,C): contract H with Wh.
+    y = jnp.einsum("nhwc,oh->nowc", x.astype(jnp.float32), wh,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("nhwc,ow->nhoc", y, ww, preferred_element_type=jnp.float32)
+    return y.astype(dtype)
+
+
+def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Nearest-neighbour resize of NHWC `x` (torch mode='nearest' parity)."""
+    n, h, w, c = x.shape
+    oh, ow = size
+    if (oh, ow) == (h, w):
+        return x
+    hi = jnp.asarray(_nearest_index(h, oh))
+    wi = jnp.asarray(_nearest_index(w, ow))
+    return x[:, hi][:, :, wi]
+
+
+def upsample2x_bilinear(x: jax.Array, *, align_corners: bool = False) -> jax.Array:
+    """Convenience ×2 bilinear upsample (the hot skip-connection path)."""
+    n, h, w, c = x.shape
+    return resize_bilinear(x, (2 * h, 2 * w), align_corners=align_corners)
