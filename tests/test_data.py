@@ -1,0 +1,84 @@
+"""Dataset plumbing: Cityscapes label LUT + class weights, CamVid palette
+mapping, host batch iterator + device prefetch."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from torch_semantic_segmentation_tpu.data import camvid, cityscapes
+from torch_semantic_segmentation_tpu.data.pipeline import (
+    batch_iterator,
+    prefetch_to_device,
+)
+
+
+def test_cityscapes_label_lut():
+    lut = cityscapes.label_lookup_table()
+    assert lut[7] == 0      # road
+    assert lut[26] == 13    # car
+    assert lut[33] == 18    # bicycle
+    assert lut[0] == 255    # unlabeled -> ignore
+    assert lut[255] == 255
+    assert sorted(set(lut.tolist()) - {255}) == list(range(19))
+
+
+def test_cityscapes_class_weights_favour_rare_classes():
+    w = cityscapes.enet_class_weights()
+    assert w.shape == (19,)
+    assert (w > 0).all()
+    # rider (idx 12, 0.12% of pixels) must outweigh road (idx 0, 33%)
+    assert w[12] > w[0]
+
+
+def test_camvid_rgb_palette_roundtrip():
+    mask = np.zeros((4, 11 * 3, 3), np.uint8)
+    for i, color in enumerate(camvid.PALETTE):
+        mask[:, i * 3:(i + 1) * 3] = color
+    idx = camvid.rgb_mask_to_index(mask)
+    for i in range(11):
+        assert (idx[:, i * 3:(i + 1) * 3] == i).all()
+    # unknown color -> ignore
+    mask[:] = (1, 2, 3)
+    assert (camvid.rgb_mask_to_index(mask) == 255).all()
+
+
+class _FakeDataset:
+    def __init__(self, n=10, h=8, w=8):
+        self.n, self.h, self.w = n, h, w
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        img = np.full((self.h, self.w, 3), i, np.uint8)
+        lbl = np.full((self.h, self.w), i % 5, np.uint8)
+        return img, lbl
+
+
+def test_batch_iterator_shapes_and_count():
+    ds = _FakeDataset(n=10)
+    batches = list(batch_iterator(ds, 4, shuffle=False, epochs=1,
+                                  num_threads=2))
+    assert len(batches) == 2  # drop_last
+    for imgs, lbls in batches:
+        assert imgs.shape == (4, 8, 8, 3) and imgs.dtype == np.uint8
+        assert lbls.shape == (4, 8, 8)
+
+
+def test_batch_iterator_applies_lut():
+    ds = _FakeDataset(n=4)
+    lut = np.arange(256, dtype=np.uint8)[::-1]  # invert
+    (imgs, lbls), = list(batch_iterator(ds, 4, shuffle=False, epochs=1,
+                                        label_lut=lut, num_threads=1))
+    assert (lbls == 255 - (np.arange(4) % 5)[:, None, None]).all()
+
+
+def test_prefetch_to_device_yields_all_batches_in_order():
+    ds = _FakeDataset(n=8)
+    host = batch_iterator(ds, 2, shuffle=False, epochs=1, num_threads=1)
+    out = list(prefetch_to_device(host, size=2))
+    assert len(out) == 4
+    assert all(isinstance(b[0], jax.Array) for b in out)
+    # order preserved: first batch contains items 0,1
+    np.testing.assert_array_equal(np.asarray(out[0][0])[:, 0, 0, 0], [0, 1])

@@ -1,0 +1,103 @@
+"""Distributed-without-a-cluster tests (SURVEY.md §4.4): 8 fake CPU devices;
+GSPMD data-parallel step must equal the single-device big-batch step, and
+the multi-scale evaluator must agree with single-scale argmax in the
+1-scale/no-flip configuration."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from torch_semantic_segmentation_tpu.data.synthetic import synthetic_batch
+from torch_semantic_segmentation_tpu.eval import make_multiscale_eval_step
+from torch_semantic_segmentation_tpu.metrics import new_confusion_matrix
+from torch_semantic_segmentation_tpu.models import enet
+from torch_semantic_segmentation_tpu.parallel import (
+    data_parallel_mesh,
+    replicate,
+    shard_batch,
+)
+from torch_semantic_segmentation_tpu.train import (
+    OptimizerConfig,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def _setup(num_classes=5, lr=0.05):
+    model = enet(num_classes=num_classes, rngs=nnx.Rngs(0))
+    tx = OptimizerConfig(lr=lr, max_steps=100).make()
+    gd_train, gd_eval, state = create_train_state(model, tx)
+    return gd_train, gd_eval, state, tx
+
+
+def test_dp8_loss_and_params_match_single_device():
+    assert jax.device_count() == 8
+    gd_train, _, state, tx = _setup()
+    step = make_train_step(gd_train, tx, donate=False)
+
+    images, labels = synthetic_batch(8, 16, 16, num_classes=5, seed=3)
+    images, labels = jnp.asarray(images), jnp.asarray(labels)
+
+    # single device reference
+    ref_state, ref_metrics = step(state, images, labels)
+
+    # DP-8: params replicated, batch sharded over 'data'
+    mesh = data_parallel_mesh()
+    assert mesh.shape["data"] == 8
+    dp_state = replicate(state, mesh)
+    dp_images, dp_labels = shard_batch((images, labels), mesh)
+    dp_state, dp_metrics = step(dp_state, dp_images, dp_labels)
+
+    np.testing.assert_allclose(float(dp_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    # updated params identical => gradient all-reduce is exact
+    flat_ref = jax.tree.leaves(ref_state.params)
+    flat_dp = jax.tree.leaves(dp_state.params)
+    # tolerance: sharded reductions (grad psum, global BN stats) legally
+    # reorder f32 sums vs the single-device reduction
+    for a, b in zip(flat_ref, flat_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-2)
+
+
+def test_dp8_second_step_keeps_sharding():
+    gd_train, _, state, tx = _setup()
+    step = make_train_step(gd_train, tx, donate=False)
+    mesh = data_parallel_mesh()
+    state = replicate(state, mesh)
+    images, labels = synthetic_batch(8, 16, 16, num_classes=5, seed=4)
+    batch = shard_batch((jnp.asarray(images), jnp.asarray(labels)), mesh)
+    state, m1 = step(state, *batch)
+    state, m2 = step(state, *batch)
+    assert float(m2["loss"]) < float(m1["loss"])  # still learning
+    # loss is replicated scalar; params stay replicated
+    p0 = jax.tree.leaves(state.params)[0]
+    assert p0.sharding.is_fully_replicated
+
+
+def test_multiscale_eval_single_scale_matches_plain_eval():
+    _, gd_eval, state, _ = _setup(num_classes=5)
+    images, labels = synthetic_batch(2, 32, 32, num_classes=5, seed=5)
+    images, labels = jnp.asarray(images), jnp.asarray(labels)
+
+    plain = make_eval_step(gd_eval, num_classes=5)
+    ms = make_multiscale_eval_step(gd_eval, num_classes=5, scales=(1.0,),
+                                   flip=False, size_divisor=8)
+    cm_a = plain(state.params, state.rest, new_confusion_matrix(5), images, labels)
+    cm_b = ms(state.params, state.rest, new_confusion_matrix(5), images, labels)
+    np.testing.assert_array_equal(np.asarray(cm_a), np.asarray(cm_b))
+
+
+def test_multiscale_eval_with_flip_runs():
+    _, gd_eval, state, _ = _setup(num_classes=5)
+    images, labels = synthetic_batch(1, 32, 32, num_classes=5, seed=6)
+    ms = make_multiscale_eval_step(gd_eval, num_classes=5,
+                                   scales=(0.5, 1.0), flip=True,
+                                   size_divisor=8)
+    cm = ms(state.params, state.rest, new_confusion_matrix(5),
+            jnp.asarray(images), jnp.asarray(labels))
+    total = float(np.asarray(cm).sum())
+    assert total == float((np.asarray(labels) != 255).sum())

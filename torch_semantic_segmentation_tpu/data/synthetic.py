@@ -42,5 +42,5 @@ def synthetic_uint8_batch(batch: int, height: int, width: int,
     """uint8 images + labels — the raw form the augmentation pipeline eats."""
     images, labels = synthetic_batch(batch, height, width, num_classes,
                                      ignore_frac=0.0, seed=seed)
-    images = ((images - images.min()) / (images.ptp() + 1e-6) * 255).astype(np.uint8)
+    images = ((images - images.min()) / (np.ptp(images) + 1e-6) * 255).astype(np.uint8)
     return images, labels.astype(np.uint8 if num_classes < 255 else np.int32)

@@ -1,0 +1,200 @@
+"""Fused on-device augmentation — the input hot path (BASELINE.json
+north_star: "decode, random scale/crop/flip, color jitter, mean-std
+normalize fuses into a single XLA/Pallas on-device transform").
+
+The reference runs albumentations/OpenCV on CPU worker processes
+(SURVEY.md §0/§2.5). TPU-native redesign: the host only decodes bytes to
+uint8; everything else is ONE jit-compiled program on device, with static
+shapes throughout:
+
+- Random scale + crop never materialises a dynamically-shaped resized image.
+  scale→crop→flip is a single separable inverse warp: for each output pixel
+  row/col we compute its source coordinate under the sampled (scale, crop
+  offset, flip) and bilinearly sample the source directly at the fixed crop
+  size (SURVEY.md §7 "On-device augmentation"). Sampling is separable
+  (axis-aligned scale/translate), so it is two row/col gathers + lerps per
+  axis — no 2-D gather, no dynamic shapes.
+- Labels are nearest-sampled; out-of-crop regions (when the scaled image is
+  smaller than the crop) become `ignore_index`, image pixels become the
+  dataset mean (i.e. 0 after normalisation) — matching pad-reflect-free
+  albumentations `PadIfNeeded(border_mode=CONSTANT)` behaviour.
+- Color jitter (brightness/contrast/saturation torchvision-style, optional
+  hue via YIQ rotation) and mean–std normalisation fuse into the same
+  program; XLA emits one fused elementwise pass over the crop.
+
+Per-sample randomness is threaded explicitly: one PRNG key per batch →
+per-sample parameter vectors → `jax.vmap` over the batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+CITYSCAPES_MEAN = (0.485, 0.456, 0.406)
+CITYSCAPES_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Mirrors the reference's albumentations train pipeline knobs
+    (SURVEY.md §2.5 "Augmentation pipeline")."""
+    crop: tuple[int, int] = (768, 768)
+    scale_range: tuple[float, float] = (0.5, 2.0)
+    hflip_prob: float = 0.5
+    brightness: float = 0.25
+    contrast: float = 0.25
+    saturation: float = 0.25
+    hue: float = 0.0
+    mean: tuple[float, float, float] = CITYSCAPES_MEAN
+    std: tuple[float, float, float] = CITYSCAPES_STD
+    ignore_index: int = 255
+    out_dtype: tp.Any = jnp.float32
+
+
+def _source_coords(out_size: int, in_size, scale, offset):
+    """Source coordinate for each output index under scale-then-crop.
+
+    The virtual pipeline is: resize by `scale` (align_corners=False
+    half-pixel convention, matching cv2/torch), then crop starting at
+    `offset` (in scaled coords). Inverting: src = (i + offset + 0.5)/scale - 0.5.
+    """
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    return (i + offset + 0.5) / scale - 0.5
+
+
+def _axis_sample_bilinear(img: jax.Array, src: jax.Array, axis: int) -> jax.Array:
+    """Bilinear 1-D resample of `img` along `axis` at float coords `src`."""
+    n = img.shape[axis]
+    lo = jnp.clip(jnp.floor(src), 0, n - 1).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, n - 1)
+    frac = jnp.clip(src - lo.astype(jnp.float32), 0.0, 1.0)
+    a = jnp.take(img, lo, axis=axis)
+    b = jnp.take(img, hi, axis=axis)
+    shape = [1] * img.ndim
+    shape[axis] = -1
+    f = frac.reshape(shape)
+    return a * (1.0 - f) + b * f
+
+
+def _axis_sample_nearest(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
+    n = x.shape[axis]
+    idx = jnp.clip(jnp.round(src), 0, n - 1).astype(jnp.int32)
+    return jnp.take(x, idx, axis=axis)
+
+
+def _warp_one(image: jax.Array, label: jax.Array, scale, oy, ox, flip,
+              crop: tuple[int, int], ignore_index: int):
+    """Warp a single (H,W,3) float image + (H,W) label to the crop size."""
+    h, w = image.shape[0], image.shape[1]
+    ch, cw = crop
+    src_y = _source_coords(ch, h, scale, oy)
+    x_idx = jnp.arange(cw, dtype=jnp.float32)
+    x_idx = jnp.where(flip, (cw - 1) - x_idx, x_idx)
+    src_x = (x_idx + ox + 0.5) / scale - 0.5
+
+    img = _axis_sample_bilinear(image, src_y, axis=0)
+    img = _axis_sample_bilinear(img, src_x, axis=1)
+    lbl = _axis_sample_nearest(label, src_y, axis=0)
+    lbl = _axis_sample_nearest(lbl, src_x, axis=1)
+
+    # validity: output pixels whose source lies outside the image
+    vy = (src_y >= -0.5) & (src_y <= h - 0.5)
+    vx = (src_x >= -0.5) & (src_x <= w - 0.5)
+    valid = vy[:, None] & vx[None, :]
+    img = jnp.where(valid[:, :, None], img, 0.0)
+    lbl = jnp.where(valid, lbl, ignore_index)
+    return img, lbl
+
+
+def _rgb_to_gray(img: jax.Array) -> jax.Array:
+    # ITU-R 601 luma (torchvision rgb_to_grayscale coefficients)
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])[..., None]
+
+
+def _color_jitter(img: jax.Array, b, c, s, hshift, enable_hue: bool) -> jax.Array:
+    """torchvision ColorJitter semantics on [0,1] floats (fixed b,c,s,h
+    order; torchvision randomises the order — immaterial for augmentation
+    strength, noted for parity review)."""
+    img = jnp.clip(img * b, 0.0, 1.0)
+    gray_mean = jnp.mean(_rgb_to_gray(img))
+    img = jnp.clip((img - gray_mean) * c + gray_mean, 0.0, 1.0)
+    gray = _rgb_to_gray(img)
+    img = jnp.clip((img - gray) * s + gray, 0.0, 1.0)
+    if enable_hue:
+        # hue rotation in YIQ space: cheap, differentiable, no HSV branching
+        theta = hshift * 2.0 * jnp.pi
+        cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+        r, g, bl = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        i = 0.596 * r - 0.274 * g - 0.322 * bl
+        q = 0.211 * r - 0.523 * g + 0.312 * bl
+        i, q = i * cos_t - q * sin_t, i * sin_t + q * cos_t
+        r = y + 0.956 * i + 0.621 * q
+        g = y - 0.272 * i - 0.647 * q
+        bl = y - 1.106 * i + 1.703 * q
+        img = jnp.clip(jnp.stack([r, g, bl], axis=-1), 0.0, 1.0)
+    return img
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def augment_batch(
+    images: jax.Array,   # (N, H, W, 3) uint8
+    labels: jax.Array,   # (N, H, W) integer
+    key: jax.Array,
+    cfg: AugmentConfig = AugmentConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """The fused train-time transform. Returns (images (N,ch,cw,3) float
+    normalised, labels (N,ch,cw) int32)."""
+    n, h, w, _ = images.shape
+    ch, cw = cfg.crop
+    ks = jax.random.split(key, 8)
+    smin, smax = cfg.scale_range
+    scale = jax.random.uniform(ks[0], (n,), minval=smin, maxval=smax)
+    # crop offset uniform in [0, max(scaled - crop, 0)] per axis
+    max_oy = jnp.maximum(scale * h - ch, 0.0)
+    max_ox = jnp.maximum(scale * w - cw, 0.0)
+    oy = jax.random.uniform(ks[1], (n,)) * max_oy
+    ox = jax.random.uniform(ks[2], (n,)) * max_ox
+    # centre when the scaled image is smaller than the crop
+    oy = jnp.where(scale * h < ch, (scale * h - ch) / 2.0, oy)
+    ox = jnp.where(scale * w < cw, (scale * w - cw) / 2.0, ox)
+    flip = jax.random.uniform(ks[3], (n,)) < cfg.hflip_prob
+
+    imgs_f = images.astype(jnp.float32) / 255.0
+    warp = jax.vmap(
+        lambda im, lb, s, y, x, f: _warp_one(im, lb, s, y, x, f, cfg.crop,
+                                             cfg.ignore_index))
+    out_img, out_lbl = warp(imgs_f, labels.astype(jnp.int32), scale, oy, ox, flip)
+
+    if cfg.brightness or cfg.contrast or cfg.saturation or cfg.hue:
+        b = jax.random.uniform(ks[4], (n,), minval=1 - cfg.brightness,
+                               maxval=1 + cfg.brightness)
+        c = jax.random.uniform(ks[5], (n,), minval=1 - cfg.contrast,
+                               maxval=1 + cfg.contrast)
+        s = jax.random.uniform(ks[6], (n,), minval=1 - cfg.saturation,
+                               maxval=1 + cfg.saturation)
+        hshift = jax.random.uniform(ks[7], (n,), minval=-cfg.hue, maxval=cfg.hue)
+        out_img = jax.vmap(
+            lambda im, bb, cc, ss, hh: _color_jitter(im, bb, cc, ss, hh,
+                                                     enable_hue=cfg.hue > 0)
+        )(out_img, b, c, s, hshift)
+
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+    out_img = (out_img - mean) / std
+    return out_img.astype(cfg.out_dtype), out_lbl
+
+
+@functools.partial(jax.jit, static_argnames=("mean", "std", "out_dtype"))
+def normalize_batch(images: jax.Array, *, mean=CITYSCAPES_MEAN,
+                    std=CITYSCAPES_STD, out_dtype=jnp.float32) -> jax.Array:
+    """Eval-time transform: uint8 → normalised float, on device."""
+    x = images.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return x.astype(out_dtype)
