@@ -1,0 +1,85 @@
+"""Headline benchmark: FastSCNN train-step throughput at full-res Cityscapes.
+
+BASELINE.json primary metric: "images/sec/chip at 1024x2048 Cityscapes
+train". This times the complete compiled train step — fused on-device
+augmentation (scale/crop at 1024×2048), forward, backward, SGD update —
+with donated buffers on one chip, and prints one JSON line.
+
+`vs_baseline` divides by an *estimated* reference throughput: the reference
+repo's own numbers are uncapturable (BASELINE.md provenance caveat — mount
+empty, `"published": {}`), so we anchor on the Fast-SCNN paper's 123 fps
+full-res inference on Titan Xp (Poudel 2019 §5) and the usual ~3–4×
+fwd-only→train-step cost plus V100-vs-TitanXp scaling, giving ≈30 img/s
+for a V100 torch training step at 1024×2048. Documented estimate, not a
+measurement; the ≥3× target therefore means vs_baseline ≥ 3.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+REFERENCE_V100_IMG_PER_SEC = 30.0  # estimated; see module docstring
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+HEIGHT = int(os.environ.get("BENCH_H", "1024"))
+WIDTH = int(os.environ.get("BENCH_W", "2048"))
+CROP = int(os.environ.get("BENCH_CROP", "1024"))
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+
+
+def main():
+    from torch_semantic_segmentation_tpu.data.transforms import (
+        AugmentConfig, augment_batch)
+    from torch_semantic_segmentation_tpu.models.fastscnn import fastscnn
+    from torch_semantic_segmentation_tpu.train import (
+        OptimizerConfig, create_train_state, make_train_step)
+
+    model = fastscnn(19, dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    tx = OptimizerConfig(lr=0.045, max_steps=1000).make()
+    gd_train, _, state = create_train_state(model, tx)
+    inner = make_train_step(gd_train, tx, jit=False)
+
+    aug_cfg = AugmentConfig(crop=(CROP, CROP), out_dtype=jnp.bfloat16)
+
+    def step(state, raw_images, raw_labels, key):
+        images, labels = augment_batch(raw_images, raw_labels, key, aug_cfg)
+        return inner(state, images, labels)
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    raw_images = jnp.asarray(
+        rng.integers(0, 256, (BATCH, HEIGHT, WIDTH, 3), dtype=np.uint8))
+    raw_labels = jnp.asarray(
+        rng.integers(0, 19, (BATCH, HEIGHT, WIDTH), dtype=np.int32))
+    key = jax.random.key(0)
+
+    # warmup/compile
+    state, metrics = jstep(state, raw_images, raw_labels, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = jstep(state, raw_images, raw_labels, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "fastscnn_train_images_per_sec_per_chip_1024x2048",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / REFERENCE_V100_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Model-zoo shape/grad smoke tests (SURVEY.md §4.3): every contract model
+builds, forwards at a stride-compatible size, returns full-res logits, and
+produces finite gradients under the shared train step.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from torch_semantic_segmentation_tpu import models
+from torch_semantic_segmentation_tpu.losses import aux_weighted_loss, cross_entropy_loss
+from torch_semantic_segmentation_tpu.train import (
+    OptimizerConfig, create_train_state, make_train_step)
+
+# (name, kwargs, input H/W divisor)
+ZOO = [
+    ("enet", {}, 8),
+    ("fastscnn", {}, 32),
+]
+
+
+def _maybe(name):
+    try:
+        models.get_model(name, 19)
+        return False
+    except KeyError:
+        return True
+
+
+@pytest.mark.parametrize("name,kwargs,div", ZOO)
+def test_forward_shapes(name, kwargs, div):
+    m = models.get_model(name, num_classes=19, **kwargs)
+    m.eval()
+    h = w = div * 2
+    x = jnp.zeros((2, h, w, 3), jnp.float32)
+    y = m(x)
+    if isinstance(y, (tuple, list)):
+        y = y[0]
+    assert y.shape == (2, h, w, 19)
+
+
+@pytest.mark.parametrize("name,kwargs,div", ZOO)
+def test_train_step_finite(name, kwargs, div):
+    m = models.get_model(name, num_classes=7, **kwargs)
+    tx = OptimizerConfig(lr=0.01, max_steps=10).make()
+    gd, _, state = create_train_state(m, tx)
+
+    def loss_fn(outputs, labels):
+        outs = outputs if isinstance(outputs, (tuple, list)) else [outputs]
+        return aux_weighted_loss(outs, labels, loss_fn=cross_entropy_loss)
+
+    step = make_train_step(gd, tx, loss_fn)
+    h = w = div * 2
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, h, w, 3), jnp.float32)
+    labels = jax.random.randint(key, (2, h, w), 0, 7)
+    state, metrics = step(state, x, labels)
+    assert jnp.isfinite(metrics["loss"])
+
+
+def test_fastscnn_aux_heads():
+    m = models.get_model("fastscnn", num_classes=5, aux=True)
+    m.eval()
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    main, a1, a2 = m(x)
+    assert main.shape == (1, 64, 64, 5)
+    assert a1.shape == (1, 8, 8, 5)       # 1/8 res
+    assert a2.shape == (1, 2, 2, 5)       # 1/32 res
+
+
+def test_registry_lists_models():
+    avail = models.available_models()
+    assert "enet" in avail and "fastscnn" in avail
