@@ -17,6 +17,10 @@ from torch_semantic_segmentation_tpu.train import (
 ZOO = [
     ("enet", {}, 8),
     ("fastscnn", {}, 32),
+    ("unet", {"base_ch": 8}, 16),
+    ("deeplabv3_resnet18", {}, 32),
+    ("bisenet", {}, 32),
+    ("icnet", {"depth": 18}, 32),
 ]
 
 
@@ -69,6 +73,33 @@ def test_fastscnn_aux_heads():
     assert a2.shape == (1, 2, 2, 5)       # 1/32 res
 
 
+def test_bisenet_icnet_aux_count():
+    for name, kw in (("bisenet", {"depth": 18}), ("icnet", {"depth": 18})):
+        m = models.get_model(name, num_classes=5, aux=True, **kw)
+        m.eval()
+        outs = m(jnp.zeros((1, 64, 64, 3), jnp.float32))
+        assert len(outs) == 3
+        assert outs[0].shape == (1, 64, 64, 5)
+
+
+def test_deeplab_output_stride_8_and_aux():
+    m = models.get_model("deeplabv3_resnet18", num_classes=5,
+                         output_stride=8, aux=True)
+    m.eval()
+    main, aux = m(jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert main.shape == (1, 64, 64, 5)
+    assert aux.shape == (1, 8, 8, 5)      # stage-3 grid at output-stride 8
+
+
+def test_unet_bilinear_decoder_variant():
+    m = models.get_model("unet", num_classes=5, base_ch=8, upsample="bilinear")
+    m.eval()
+    y = m(jnp.zeros((1, 32, 32, 3), jnp.float32))
+    assert y.shape == (1, 32, 32, 5)
+
+
 def test_registry_lists_models():
     avail = models.available_models()
-    assert "enet" in avail and "fastscnn" in avail
+    for name in ("enet", "fastscnn", "unet", "deeplabv3_resnet50",
+                 "bisenet", "icnet"):
+        assert name in avail, avail

@@ -48,10 +48,12 @@ def _ensure_registry():
         pass
     try:
         from torch_semantic_segmentation_tpu.models.deeplab import (
-            deeplabv3_resnet18, deeplabv3_resnet34, deeplabv3_resnet50)
+            deeplabv3_resnet18, deeplabv3_resnet34, deeplabv3_resnet50,
+            deeplabv3_resnet101)
         _REGISTRY["deeplabv3_resnet18"] = deeplabv3_resnet18
         _REGISTRY["deeplabv3_resnet34"] = deeplabv3_resnet34
         _REGISTRY["deeplabv3_resnet50"] = deeplabv3_resnet50
+        _REGISTRY["deeplabv3_resnet101"] = deeplabv3_resnet101
     except ImportError:
         pass
     try:
