@@ -1,0 +1,196 @@
+"""Checkpoint-compat parity tests (SURVEY.md §4.2): import torch
+state_dicts, assert per-pixel logit agreement with a torch-cpu oracle within
+fp32 tolerance (the BASELINE.json north_star contract), and round-trip
+export→import.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax.numpy as jnp
+from flax import nnx
+
+from torch_semantic_segmentation_tpu.compat import (
+    export_torch_state_dict, import_torch_state_dict)
+from torch_semantic_segmentation_tpu.ops import (
+    ConvBNAct, ConvTranspose2d, PReLU, make_conv)
+
+TOL = dict(rtol=1e-5, atol=1e-5)
+
+
+def _run_jax(model, x_nchw):
+    model.eval()
+    x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    y = model(x)
+    return np.transpose(np.asarray(y), (0, 3, 1, 2))
+
+
+def _run_torch(model, x_nchw):
+    model.eval()
+    with torch.no_grad():
+        return model(torch.from_numpy(x_nchw)).numpy()
+
+
+class TorchStack(tnn.Module):
+    """Oracle mirroring a ConvBNAct(PReLU) → dilated ConvBNAct → deconv
+    chain with the canonical attribute names the loader expects."""
+
+    def __init__(self):
+        super().__init__()
+        self.block1 = tnn.Module()
+        self.block1.conv = tnn.Conv2d(3, 8, 3, stride=2, padding=1, bias=False)
+        self.block1.bn = tnn.BatchNorm2d(8)
+        self.block1.act = tnn.PReLU(8)
+        self.block2 = tnn.Module()
+        self.block2.conv = tnn.Conv2d(8, 8, 3, padding=2, dilation=2,
+                                      groups=8, bias=False)
+        self.block2.bn = tnn.BatchNorm2d(8)
+        self.block2.act = tnn.PReLU(8)
+        self.up = tnn.ConvTranspose2d(8, 5, 3, stride=2, padding=1,
+                                      output_padding=1)
+
+    def forward(self, x):
+        x = self.block1.act(self.block1.bn(self.block1.conv(x)))
+        x = self.block2.act(self.block2.bn(self.block2.conv(x)))
+        return self.up(x)
+
+
+class JaxStack(nnx.Module):
+    def __init__(self, *, rngs: nnx.Rngs):
+        self.block1 = ConvBNAct(3, 8, 3, stride=2, prelu=True, rngs=rngs)
+        self.block2 = ConvBNAct(8, 8, 3, dilation=2, groups=8, prelu=True,
+                                rngs=rngs)
+        self.up = ConvTranspose2d(8, 5, 3, stride=2, padding=1,
+                                  output_padding=1, rngs=rngs)
+
+    def __call__(self, x):
+        return self.up(self.block2(self.block1(x)))
+
+
+def _randomize_bn_stats(tmodel):
+    """Make running stats non-trivial so eval-mode parity actually tests them."""
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+
+def test_stack_logit_parity():
+    tmodel = TorchStack()
+    _randomize_bn_stats(tmodel)
+    jmodel = JaxStack(rngs=nnx.Rngs(0))
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(0).randn(2, 3, 16, 16).astype(np.float32)
+    np.testing.assert_allclose(_run_jax(jmodel, x), _run_torch(tmodel, x), **TOL)
+
+
+def test_strict_mode_reports_mismatches():
+    jmodel = JaxStack(rngs=nnx.Rngs(0))
+    sd = TorchStack().state_dict()
+    sd.pop("up.bias")
+    sd["extra.weight"] = torch.zeros(1)
+    with pytest.raises(KeyError):
+        import_torch_state_dict(jmodel, sd)
+    leftover = import_torch_state_dict(jmodel, sd, strict=False)
+    assert leftover == ["extra.weight"]
+
+
+def test_shape_mismatch_raises():
+    jmodel = JaxStack(rngs=nnx.Rngs(0))
+    sd = TorchStack().state_dict()
+    sd["block1.conv.weight"] = torch.zeros(8, 3, 5, 5)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_torch_state_dict(jmodel, sd)
+
+
+def test_export_round_trip():
+    jmodel = JaxStack(rngs=nnx.Rngs(1))
+    sd = export_torch_state_dict(jmodel)
+    # export must be loadable by the torch oracle (same keys/shapes) ...
+    tmodel = TorchStack()
+    tmodel.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+                           strict=False)
+    # ... and produce identical outputs both ways
+    x = np.random.RandomState(1).randn(1, 3, 16, 16).astype(np.float32)
+    np.testing.assert_allclose(_run_jax(jmodel, x), _run_torch(tmodel, x), **TOL)
+
+
+class TorchMiniUNet(tnn.Module):
+    """Oracle for the UNet up-block path: pool/deconv/concat semantics."""
+
+    def __init__(self):
+        super().__init__()
+        def double(i, o):
+            m = tnn.Module()
+            m.conv1 = tnn.Module()
+            m.conv1.conv = tnn.Conv2d(i, o, 3, padding=1, bias=False)
+            m.conv1.bn = tnn.BatchNorm2d(o)
+            m.conv2 = tnn.Module()
+            m.conv2.conv = tnn.Conv2d(o, o, 3, padding=1, bias=False)
+            m.conv2.bn = tnn.BatchNorm2d(o)
+            return m
+        self.enc1 = double(3, 4)
+        self.enc2 = double(4, 8)
+        self.up1 = tnn.Module()
+        self.up1.up = tnn.ConvTranspose2d(8, 4, 2, stride=2)
+        self.up1.conv = double(8, 4)
+        self.head = tnn.Conv2d(4, 5, 1)
+
+    @staticmethod
+    def _double(m, x):
+        x = tnn.functional.relu(m.conv1.bn(m.conv1.conv(x)))
+        return tnn.functional.relu(m.conv2.bn(m.conv2.conv(x)))
+
+    def forward(self, x):
+        s1 = self._double(self.enc1, x)
+        y = self._double(self.enc2, tnn.functional.max_pool2d(s1, 2))
+        y = self.up1.up(y)
+        y = self._double(self.up1.conv, torch.cat([y, s1], dim=1))
+        return self.head(y)
+
+
+def test_mini_unet_parity():
+    from torch_semantic_segmentation_tpu.models.unet import DoubleConv, UpBlock
+
+    class JaxMiniUNet(nnx.Module):
+        def __init__(self, *, rngs):
+            self.enc1 = DoubleConv(3, 4, rngs=rngs)
+            self.enc2 = DoubleConv(4, 8, rngs=rngs)
+            self.up1 = UpBlock(8, 4, 4, rngs=rngs)
+            self.head = make_conv(4, 5, 1, use_bias=True, rngs=rngs)
+
+        def __call__(self, x):
+            from torch_semantic_segmentation_tpu.ops import max_pool2d
+            s1 = self.enc1(x)
+            y = self.enc2(max_pool2d(s1, 2))
+            return self.head(self.up1(y, s1))
+
+    tmodel = TorchMiniUNet()
+    _randomize_bn_stats(tmodel)
+    jmodel = JaxMiniUNet(rngs=nnx.Rngs(0))
+    # UNet concat order is (upsampled, skip) in both implementations
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+    x = np.random.RandomState(2).randn(1, 3, 16, 16).astype(np.float32)
+    np.testing.assert_allclose(_run_jax(jmodel, x), _run_torch(tmodel, x), **TOL)
+
+
+def test_enet_full_model_parity():
+    """Whole-model per-pixel logit parity under an imported torch checkpoint
+    (the BASELINE.json north_star contract), incl. max-pool index
+    forwarding / max-unpool and PReLU semantics."""
+    from tests.torch_oracles import TorchENet
+    from torch_semantic_segmentation_tpu.models import enet
+
+    torch.manual_seed(0)
+    tmodel = TorchENet(num_classes=12)
+    _randomize_bn_stats(tmodel)
+    jmodel = enet(12)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(3).randn(2, 3, 32, 64).astype(np.float32)
+    got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,164 @@
+"""Torch-cpu oracle implementations for whole-model parity tests.
+
+These are independent PyTorch implementations written from the papers
+(NOT copied from the reference repo — /root/reference is empty, SURVEY.md
+provenance notice), with module attribute names mirroring the TPU-native
+models so `compat.import_torch_state_dict` maps keys 1:1. They serve as the
+per-pixel-logit oracle the BASELINE.json north_star demands.
+"""
+
+from __future__ import annotations
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class TConvBNAct(nn.Module):
+    """Mirror of ops.ConvBNAct: conv → bn → (PReLU | named act | none)."""
+
+    def __init__(self, in_ch, out_ch, k=3, *, stride=1, padding=None,
+                 dilation=1, groups=1, act="relu", use_bias=False,
+                 prelu=False):
+        super().__init__()
+        kh = k if isinstance(k, int) else k[0]
+        kw = k if isinstance(k, int) else k[1]
+        if padding is None:
+            padding = (dilation * (kh - 1) // 2, dilation * (kw - 1) // 2)
+        self.conv = nn.Conv2d(in_ch, out_ch, k, stride=stride, padding=padding,
+                              dilation=dilation, groups=groups, bias=use_bias)
+        self.bn = nn.BatchNorm2d(out_ch)
+        if prelu:
+            self.act = nn.PReLU(out_ch)
+            self._act_name = None
+        else:
+            self.act = None
+            self._act_name = act
+
+    def forward(self, x):
+        y = self.bn(self.conv(x))
+        if self.act is not None:
+            return self.act(y)
+        if self._act_name == "relu":
+            return F.relu(y)
+        return y
+
+
+class TInitialBlock(nn.Module):
+    def __init__(self, in_ch=3, out_ch=16):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch - in_ch, 3, stride=2, padding=1,
+                              bias=False)
+        self.bn = nn.BatchNorm2d(out_ch)
+        self.act = nn.PReLU(out_ch)
+
+    def forward(self, x):
+        y = torch.cat([self.conv(x), F.max_pool2d(x, 2)], dim=1)
+        return self.act(self.bn(y))
+
+
+class TBottleneck(nn.Module):
+    """Mirror of models.enet.Bottleneck (Paszke 2016)."""
+
+    def __init__(self, in_ch, out_ch, *, kind="regular", dilation=1,
+                 dropout=0.1, projection_ratio=4):
+        super().__init__()
+        self.kind = kind
+        self.in_ch, self.out_ch = in_ch, out_ch
+        mid = in_ch // projection_ratio
+
+        if kind == "down":
+            self.proj = TConvBNAct(in_ch, mid, 2, stride=2, padding=0, prelu=True)
+        else:
+            self.proj = TConvBNAct(in_ch, mid, 1, prelu=True)
+
+        if kind == "asymmetric":
+            self.mid_a = TConvBNAct(mid, mid, (5, 1), padding=(2, 0), prelu=True)
+            self.mid_b = TConvBNAct(mid, mid, (1, 5), padding=(0, 2), prelu=True)
+        elif kind == "up":
+            self.mid_deconv = nn.ConvTranspose2d(mid, mid, 3, stride=2,
+                                                 padding=1, output_padding=1,
+                                                 bias=False)
+            self.mid_bn = nn.BatchNorm2d(mid)
+            self.mid_act = nn.PReLU(mid)
+        else:
+            self.mid = TConvBNAct(mid, mid, 3, dilation=dilation, prelu=True)
+
+        self.expand = TConvBNAct(mid, out_ch, 1, act=None)
+        self.dropout = nn.Dropout2d(dropout)
+        if kind == "up":
+            self.skip_conv = TConvBNAct(in_ch, out_ch, 1, act=None)
+        self.out_act = nn.PReLU(out_ch)
+
+    def forward(self, x, indices=None):
+        y = self.proj(x)
+        if self.kind == "asymmetric":
+            y = self.mid_b(self.mid_a(y))
+        elif self.kind == "up":
+            y = self.mid_act(self.mid_bn(self.mid_deconv(y)))
+        else:
+            y = self.mid(y)
+        y = self.dropout(self.expand(y))
+
+        if self.kind == "down":
+            skip, idx = F.max_pool2d(x, 2, return_indices=True)
+            if self.out_ch > self.in_ch:
+                pad = self.out_ch - self.in_ch
+                skip = F.pad(skip, (0, 0, 0, 0, 0, pad))
+            return self.out_act(y + skip), idx
+        elif self.kind == "up":
+            skip = F.max_unpool2d(self.skip_conv(x), indices,
+                                  kernel_size=2, stride=2)
+            return self.out_act(y + skip)
+        return self.out_act(y + x)
+
+
+class TorchENet(nn.Module):
+    """ENet oracle (Paszke 2016), attribute-parallel to models.enet.ENet."""
+
+    def __init__(self, num_classes=19, in_ch=3):
+        super().__init__()
+        self.initial = TInitialBlock(in_ch, 16)
+        self.down1 = TBottleneck(16, 64, kind="down", dropout=0.01)
+        self.stage1 = nn.ModuleList(
+            [TBottleneck(64, 64, dropout=0.01) for _ in range(4)])
+        self.down2 = TBottleneck(64, 128, kind="down")
+
+        def s2():
+            return nn.ModuleList([
+                TBottleneck(128, 128),
+                TBottleneck(128, 128, kind="dilated", dilation=2),
+                TBottleneck(128, 128, kind="asymmetric"),
+                TBottleneck(128, 128, kind="dilated", dilation=4),
+                TBottleneck(128, 128),
+                TBottleneck(128, 128, kind="dilated", dilation=8),
+                TBottleneck(128, 128, kind="asymmetric"),
+                TBottleneck(128, 128, kind="dilated", dilation=16),
+            ])
+
+        self.stage2 = s2()
+        self.stage3 = s2()
+        self.up4 = TBottleneck(128, 64, kind="up")
+        self.stage4 = nn.ModuleList([TBottleneck(64, 64) for _ in range(2)])
+        self.up5 = TBottleneck(64, 16, kind="up")
+        self.stage5 = nn.ModuleList([TBottleneck(16, 16)])
+        self.fullconv = nn.ConvTranspose2d(16, num_classes, 3, stride=2,
+                                           padding=1, output_padding=1)
+
+    def forward(self, x):
+        x = self.initial(x)
+        x, idx1 = self.down1(x)
+        for b in self.stage1:
+            x = b(x)
+        x, idx2 = self.down2(x)
+        for b in self.stage2:
+            x = b(x)
+        for b in self.stage3:
+            x = b(x)
+        x = self.up4(x, idx2)
+        for b in self.stage4:
+            x = b(x)
+        x = self.up5(x, idx1)
+        for b in self.stage5:
+            x = b(x)
+        return self.fullconv(x)
