@@ -1,0 +1,77 @@
+"""CLI + checkpoint/resume integration tests (SURVEY.md §4.3; the
+CPU-runnable contract config is the anchor)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_train_cli_synthetic_smoke(tmp_path):
+    from torch_semantic_segmentation_tpu.cli.train import main
+    ckpt = str(tmp_path / "ck")
+    state = main(["--dataset", "synthetic", "--model", "enet",
+                  "--batch-size", "8", "--crop-size", "32",
+                  "--max-iterations", "3", "--log-every", "1",
+                  "--checkpoint-dir", ckpt, "--checkpoint-every", "2"])
+    assert int(state.step) == 3
+    assert os.path.isdir(ckpt)
+    # resume continues from the saved step
+    state = main(["--dataset", "synthetic", "--model", "enet",
+                  "--batch-size", "8", "--crop-size", "32",
+                  "--max-iterations", "5", "--log-every", "1",
+                  "--checkpoint-dir", ckpt, "--resume"])
+    assert int(state.step) == 5
+
+
+def test_eval_cli_synthetic_smoke():
+    from torch_semantic_segmentation_tpu.cli.eval import main
+    iou, miou = main(["--dataset", "synthetic", "--model", "enet",
+                      "--batch-size", "2", "--max-batches", "1"])
+    assert np.isfinite(miou)
+    assert len(iou) == 19
+
+
+def test_checkpoint_roundtrip_exact(tmp_path):
+    from flax import nnx
+    from torch_semantic_segmentation_tpu.checkpoint import CheckpointManager
+    from torch_semantic_segmentation_tpu.models import enet
+    from torch_semantic_segmentation_tpu.train import (
+        OptimizerConfig, create_train_state)
+    import jax
+
+    tx = OptimizerConfig(max_steps=10).make()
+    _, _, state = create_train_state(enet(5, rngs=nnx.Rngs(3)), tx)
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_interval_steps=1)
+    key = jax.random.key(42)
+    assert mgr.save(7, state, data_key=key, force=True)
+    mgr.wait()
+
+    _, _, template = create_train_state(enet(5, rngs=nnx.Rngs(0)), tx)
+    restored, rkey, step = mgr.restore_latest(template, data_key=jax.random.key(0))
+    assert step == 7
+    assert jnp.array_equal(jax.random.key_data(rkey), jax.random.key_data(key))
+    orig = jax.tree.leaves(state.params)
+    back = jax.tree.leaves(restored.params)
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_build_loss_variants():
+    from torch_semantic_segmentation_tpu.cli.common import build_loss
+    logits = jnp.zeros((1, 8, 8, 4))
+    labels = jnp.zeros((1, 8, 8), jnp.int32)
+    for loss in ("ce", "ohem"):
+        fn = build_loss(loss, ignore_index=255, aux_weight=0.4,
+                        class_weights=np.ones(4, np.float32),
+                        ohem_min_kept=10)
+        v = fn(logits, labels)
+        assert jnp.isfinite(v)
+        v2 = fn((logits, logits), labels)   # aux path
+        assert v2 > v                        # main + 0.4*aux
+
+    with pytest.raises(ValueError):
+        build_loss("focal", ignore_index=255, aux_weight=0.4, class_weights=None)

@@ -1,0 +1,170 @@
+"""Training CLI (SURVEY.md §3.1 build-side): one jit-compiled step program
+(fused on-device augmentation + fwd + bwd + SGD/poly-LR + GSPMD psum over
+the data mesh), host loop only for logging/checkpoints.
+
+Usage (flag names mirror the reference train scripts, SURVEY.md §2.6):
+
+  python -m torch_semantic_segmentation_tpu.cli.train \
+      --model fastscnn --dataset cityscapes --dataset-dir /data/cityscapes \
+      --batch-size 16 --crop-size 768 --lr 0.045 --max-iterations 160000 \
+      --loss ohem --checkpoint-dir ckpts
+
+Smoke run (CPU, no data): --dataset synthetic --max-iterations 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="fastscnn")
+    p.add_argument("--dataset", default="cityscapes",
+                   choices=["cityscapes", "camvid", "synthetic"])
+    p.add_argument("--dataset-dir", default=None)
+    p.add_argument("--batch-size", type=int, default=16,
+                   help="global batch (split across the data mesh axis)")
+    p.add_argument("--crop-size", type=int, nargs="+", default=[768],
+                   help="train crop (one value = square)")
+    p.add_argument("--scale-range", type=float, nargs=2, default=[0.5, 2.0])
+    p.add_argument("--lr", type=float, default=0.045)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--poly-power", type=float, default=0.9)
+    p.add_argument("--max-iterations", type=int, default=1000)
+    p.add_argument("--loss", default="ce", choices=["ce", "ohem"])
+    p.add_argument("--aux-weight", type=float, default=0.4)
+    p.add_argument("--class-weights", action="store_true",
+                   help="use ENet-style 1/ln(c+p) class weights")
+    p.add_argument("--ohem-min-kept", type=int, default=100_000)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from latest checkpoint in --checkpoint-dir")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrained", default=None,
+                   help="torch .pth checkpoint to import before training")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from torch_semantic_segmentation_tpu.cli.common import (
+        build_dataset, build_loss)
+    from torch_semantic_segmentation_tpu.data.pipeline import (
+        batch_iterator, prefetch_to_device)
+    from torch_semantic_segmentation_tpu.data.transforms import (
+        AugmentConfig, augment_batch)
+    from torch_semantic_segmentation_tpu.models import get_model
+    from torch_semantic_segmentation_tpu.parallel.mesh import (
+        batch_sharding, data_parallel_mesh, replicate)
+    from torch_semantic_segmentation_tpu.train import (
+        OptimizerConfig, create_train_state, make_train_step)
+
+    args = parse_args(argv)
+    crop = (args.crop_size[0], args.crop_size[-1])
+    bundle = build_dataset(args.dataset, args.dataset_dir, "train",
+                           synthetic_size=(max(args.batch_size * 2, 8),
+                                           crop[0], crop[1]))
+
+    mesh = data_parallel_mesh()
+    n_dev = mesh.devices.size
+    if args.batch_size % n_dev:
+        raise ValueError(f"--batch-size {args.batch_size} not divisible by "
+                         f"{n_dev} devices")
+    print(f"devices={n_dev} global_batch={args.batch_size} "
+          f"model={args.model} dataset={args.dataset}")
+
+    model = get_model(args.model, num_classes=bundle.num_classes,
+                      dtype=jnp.bfloat16 if args.bf16 else None,
+                      rngs=nnx.Rngs(args.seed))
+    if args.pretrained:
+        from torch_semantic_segmentation_tpu.compat.torch_loader import (
+            load_torch_checkpoint)
+        load_torch_checkpoint(model, args.pretrained)
+        print(f"imported torch checkpoint {args.pretrained}")
+
+    opt_cfg = OptimizerConfig(
+        lr=args.lr, momentum=args.momentum, weight_decay=args.weight_decay,
+        power=args.poly_power, max_steps=args.max_iterations)
+    tx = opt_cfg.make()
+    gd_train, gd_eval, state = create_train_state(model, tx)
+    state = replicate(state, mesh)
+
+    loss_fn = build_loss(
+        args.loss, ignore_index=bundle.ignore_index,
+        aux_weight=args.aux_weight,
+        class_weights=bundle.class_weights if args.class_weights else None,
+        ohem_min_kept=args.ohem_min_kept)
+    inner = make_train_step(gd_train, tx, loss_fn, jit=False)
+
+    aug_cfg = AugmentConfig(
+        crop=crop, scale_range=tuple(args.scale_range),
+        mean=bundle.mean, std=bundle.std, ignore_index=bundle.ignore_index,
+        out_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    def step_fn(state, raw_images, raw_labels, key):
+        images, labels = augment_batch(raw_images, raw_labels, key, aug_cfg)
+        return inner(state, images, labels)
+
+    jstep = jax.jit(step_fn, donate_argnums=(0,),
+                    static_argnums=())
+
+    mgr = None
+    start_step = 0
+    data_key = jax.random.key(args.seed + 1)
+    if args.checkpoint_dir:
+        from torch_semantic_segmentation_tpu.checkpoint import CheckpointManager
+        mgr = CheckpointManager(args.checkpoint_dir,
+                                save_interval_steps=args.checkpoint_every)
+        if args.resume:
+            restored = mgr.restore_latest(state, data_key=data_key)
+            if restored is not None:
+                state, data_key, start_step = restored
+                state = replicate(state, mesh)
+                # restored key arrives committed to one device; re-replicate
+                data_key = jax.random.wrap_key_data(
+                    replicate(jax.random.key_data(data_key), mesh))
+                print(f"resumed from step {start_step}")
+
+    sharding = batch_sharding(mesh)
+    host = batch_iterator(bundle.dataset, args.batch_size,
+                          seed=args.seed, label_lut=bundle.label_lut)
+    dev = prefetch_to_device(host, size=2, sharding=sharding)
+
+    t0 = time.perf_counter()
+    imgs_done = 0
+    loss_val = float("nan")
+    for it in range(start_step, args.max_iterations):
+        raw_images, raw_labels = next(dev)
+        data_key, sub = jax.random.split(data_key)
+        state, metrics = jstep(state, raw_images, raw_labels, sub)
+        imgs_done += args.batch_size
+        if (it + 1) % args.log_every == 0 or it + 1 == args.max_iterations:
+            loss_val = float(metrics["loss"])   # device sync point
+            dt = time.perf_counter() - t0
+            print(f"it {it + 1}/{args.max_iterations} "
+                  f"loss {loss_val:.4f} "
+                  f"img/s {imgs_done / dt:.1f}")
+            t0, imgs_done = time.perf_counter(), 0
+        if mgr is not None:
+            mgr.save(it + 1, state, data_key=data_key,
+                     force=(it + 1 == args.max_iterations))
+    if mgr is not None:
+        mgr.wait()
+        mgr.close()
+    print(f"done: final loss {loss_val:.4f}")
+    return state
+
+
+if __name__ == "__main__":
+    main()
