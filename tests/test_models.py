@@ -21,6 +21,10 @@ ZOO = [
     ("deeplabv3_resnet18", {}, 32),
     ("bisenet", {}, 32),
     ("icnet", {"depth": 18}, 32),
+    ("contextnet", {}, 32),
+    ("lednet", {}, 16),
+    ("erfnet", {}, 8),
+    ("esnet", {}, 8),
 ]
 
 
