@@ -29,6 +29,7 @@ from torch_semantic_segmentation_tpu.ops import (
     make_conv,
     max_pool2d,
     resize_bilinear,
+    upsample2x_concat,
 )
 
 
@@ -46,7 +47,14 @@ class DoubleConv(nnx.Module):
 
 
 class UpBlock(nnx.Module):
-    """Upsample ×2 (deconv or bilinear+1×1), concat skip, double conv."""
+    """Upsample ×2 (deconv or bilinear+1×1), concat skip, double conv.
+
+    The bilinear variant runs the 1×1 conv at LOW resolution (1×1 conv and
+    bilinear resize commute exactly — both are linear), then uses the fused
+    Pallas upsample+concat kernel (`ops.upsample2x_concat`): the upsampled
+    map never round-trips HBM before the concat (BASELINE north_star
+    "upsample+concat skip fusion").
+    """
 
     def __init__(self, in_ch: int, skip_ch: int, out_ch: int, *,
                  upsample: str = "deconv", align_corners: bool = False,
@@ -63,11 +71,13 @@ class UpBlock(nnx.Module):
     def __call__(self, x: jax.Array, skip: jax.Array) -> jax.Array:
         if self.upsample == "deconv":
             x = self.up(x)
-        else:
-            x = self.up(resize_bilinear(
-                x, (x.shape[1] * 2, x.shape[2] * 2),
-                align_corners=self.align_corners))
-        return self.conv(jnp.concatenate([x, skip], axis=-1))
+            return self.conv(jnp.concatenate([x, skip], axis=-1))
+        x = self.up(x)                      # 1×1 at low res, then fused up+cat
+        if self.align_corners:              # kernel implements AC=False only
+            x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),
+                                align_corners=True)
+            return self.conv(jnp.concatenate([x, skip], axis=-1))
+        return self.conv(upsample2x_concat(x, skip))
 
 
 class UNet(nnx.Module):

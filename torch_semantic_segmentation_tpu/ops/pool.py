@@ -100,6 +100,7 @@ def adaptive_avg_pool2d(x: jax.Array, output_size: int | tuple[int, int]) -> jax
         return jnp.asarray(m)
 
     mh, mw = pool_matrix(h, oh), pool_matrix(w, ow)
-    y = jnp.einsum("nhwc,oh->nowc", x.astype(jnp.float32), mh)
-    y = jnp.einsum("nhwc,ow->nhoc", y, mw)
+    hp = jax.lax.Precision.HIGHEST   # fp32 parity on the MXU (see upsample.py)
+    y = jnp.einsum("nhwc,oh->nowc", x.astype(jnp.float32), mh, precision=hp)
+    y = jnp.einsum("nhwc,ow->nhoc", y, mw, precision=hp)
     return y.astype(x.dtype)

@@ -77,9 +77,13 @@ def resize_bilinear(
     wh = jnp.asarray(_interp_matrix(h, oh, align_corners))
     ww = jnp.asarray(_interp_matrix(w, ow, align_corners))
     # (N,H,W,C) -> (N,OH,W,C): contract H with Wh.
+    # HIGHEST precision: the TPU MXU otherwise rounds fp32 operands to
+    # bf16 (~1e-2 rel err), breaking the checkpoint logit-parity contract
     y = jnp.einsum("nhwc,oh->nowc", x.astype(jnp.float32), wh,
-                   preferred_element_type=jnp.float32)
-    y = jnp.einsum("nhwc,ow->nhoc", y, ww, preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("nhwc,ow->nhoc", y, ww, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return y.astype(dtype)
 
 
