@@ -3,7 +3,9 @@
 BASELINE.json primary metric: "images/sec/chip at 1024x2048 Cityscapes
 train". This times the complete compiled train step — fused on-device
 augmentation (scale/crop at 1024×2048), forward, backward, SGD update —
-with donated buffers on one chip, and prints one JSON line.
+with donated buffers on one chip, and prints one JSON line. The forward
+is rematerialised in the backward (jax.checkpoint): at full res this is
+~28% FASTER than storing activations — HBM pressure, not FLOPs, binds.
 
 `vs_baseline` divides by an *estimated* reference throughput: the reference
 repo's own numbers are uncapturable (BASELINE.md provenance caveat — mount
@@ -27,11 +29,12 @@ from flax import nnx
 
 REFERENCE_V100_IMG_PER_SEC = 30.0  # estimated; see module docstring
 
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))  # HBM sweet spot on v5e (remat on)
 HEIGHT = int(os.environ.get("BENCH_H", "1024"))
 WIDTH = int(os.environ.get("BENCH_W", "2048"))
 CROP = int(os.environ.get("BENCH_CROP", "1024"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+REMAT = bool(int(os.environ.get("BENCH_REMAT", "1")))
 
 
 def main():
@@ -44,7 +47,7 @@ def main():
     model = fastscnn(19, dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
     tx = OptimizerConfig(lr=0.045, max_steps=1000).make()
     gd_train, _, state = create_train_state(model, tx)
-    inner = make_train_step(gd_train, tx, jit=False)
+    inner = make_train_step(gd_train, tx, jit=False, remat=REMAT)
 
     aug_cfg = AugmentConfig(crop=(CROP, CROP), out_dtype=jnp.bfloat16)
 
@@ -58,18 +61,19 @@ def main():
     raw_images = jnp.asarray(
         rng.integers(0, 256, (BATCH, HEIGHT, WIDTH, 3), dtype=np.uint8))
     raw_labels = jnp.asarray(
-        rng.integers(0, 19, (BATCH, HEIGHT, WIDTH), dtype=np.int32))
+        rng.integers(0, 19, (BATCH, HEIGHT, WIDTH), dtype=np.uint8))
     key = jax.random.key(0)
 
-    # warmup/compile
+    # warmup/compile; a VALUE fetch is the only reliable device sync here
+    # (block_until_ready returns early through the remote-execution tunnel)
     state, metrics = jstep(state, raw_images, raw_labels, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         key, sub = jax.random.split(key)
         state, metrics = jstep(state, raw_images, raw_labels, sub)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])   # drains the chained steps
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * STEPS / dt

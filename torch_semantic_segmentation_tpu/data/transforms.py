@@ -67,46 +67,66 @@ def _source_coords(out_size: int, in_size, scale, offset):
     return (i + offset + 0.5) / scale - 0.5
 
 
-def _axis_sample_bilinear(img: jax.Array, src: jax.Array, axis: int) -> jax.Array:
-    """Bilinear 1-D resample of `img` along `axis` at float coords `src`."""
-    n = img.shape[axis]
-    lo = jnp.clip(jnp.floor(src), 0, n - 1).astype(jnp.int32)
-    hi = jnp.clip(lo + 1, 0, n - 1)
-    frac = jnp.clip(src - lo.astype(jnp.float32), 0.0, 1.0)
-    a = jnp.take(img, lo, axis=axis)
-    b = jnp.take(img, hi, axis=axis)
-    shape = [1] * img.ndim
-    shape[axis] = -1
-    f = frac.reshape(shape)
-    return a * (1.0 - f) + b * f
+def _interp_matrix_rows(src: jax.Array, in_size: int, dtype) -> jax.Array:
+    """(..., out, in) 2-hot bilinear sampling matrix from float coords.
+
+    The warp is applied as batched MATMULS (MXU) rather than gathers: with
+    C=3 channels in the lane dimension, per-pixel gathers use <3% of the
+    VPU and dominated the full-res step (measured ~10× the model forward);
+    a 2-hot matrix contraction runs on the systolic array instead.
+    """
+    lo = jnp.floor(src)
+    frac = (src - lo)[..., None].astype(dtype)
+    lo_c = jnp.clip(lo, 0, in_size - 1).astype(jnp.int32)[..., None]
+    hi_c = jnp.clip(lo + 1, 0, in_size - 1).astype(jnp.int32)[..., None]
+    cols = jnp.arange(in_size, dtype=jnp.int32)
+    return ((cols == lo_c).astype(dtype) * (1 - frac)
+            + (cols == hi_c).astype(dtype) * frac)
 
 
-def _axis_sample_nearest(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
-    n = x.shape[axis]
-    idx = jnp.clip(jnp.round(src), 0, n - 1).astype(jnp.int32)
-    return jnp.take(x, idx, axis=axis)
+def _nearest_matrix_rows(src: jax.Array, in_size: int, dtype) -> jax.Array:
+    """(..., out, in) one-hot nearest sampling matrix."""
+    idx = jnp.clip(jnp.round(src), 0, in_size - 1).astype(jnp.int32)[..., None]
+    cols = jnp.arange(in_size, dtype=jnp.int32)
+    return (cols == idx).astype(dtype)
 
 
-def _warp_one(image: jax.Array, label: jax.Array, scale, oy, ox, flip,
-              crop: tuple[int, int], ignore_index: int):
-    """Warp a single (H,W,3) float image + (H,W) label to the crop size."""
-    h, w = image.shape[0], image.shape[1]
+def _warp_batch(images: jax.Array, labels: jax.Array, scale, oy, ox, flip,
+                crop: tuple[int, int], ignore_index: int, dtype):
+    """Warp (N,H,W,3) uint8 images + (N,H,W) labels to the crop size via
+    per-sample sampling-matrix matmuls. Returns (img [0,1] float, lbl int32).
+    """
+    n, h, w = images.shape[0], images.shape[1], images.shape[2]
     ch, cw = crop
-    src_y = _source_coords(ch, h, scale, oy)
-    x_idx = jnp.arange(cw, dtype=jnp.float32)
-    x_idx = jnp.where(flip, (cw - 1) - x_idx, x_idx)
-    src_x = (x_idx + ox + 0.5) / scale - 0.5
+    # per-sample source coords: (N, ch) / (N, cw)
+    yi = jnp.arange(ch, dtype=jnp.float32)
+    src_y = (yi[None, :] + oy[:, None] + 0.5) / scale[:, None] - 0.5
+    xi = jnp.arange(cw, dtype=jnp.float32)
+    xi = jnp.where(flip[:, None], (cw - 1) - xi[None, :], xi[None, :])
+    src_x = (xi + ox[:, None] + 0.5) / scale[:, None] - 0.5
 
-    img = _axis_sample_bilinear(image, src_y, axis=0)
-    img = _axis_sample_bilinear(img, src_x, axis=1)
-    lbl = _axis_sample_nearest(label, src_y, axis=0)
-    lbl = _axis_sample_nearest(lbl, src_x, axis=1)
+    wh = _interp_matrix_rows(src_y, h, dtype)       # (N, ch, H)
+    ww = _interp_matrix_rows(src_x, w, dtype)       # (N, cw, W)
+    img = images.astype(dtype)
+    img = jnp.einsum("nih,nhwc->niwc", wh, img,
+                     preferred_element_type=jnp.float32)
+    img = jnp.einsum("nkw,nhwc->nhkc", ww, img.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    img = img.astype(jnp.float32) / 255.0
 
-    # validity: output pixels whose source lies outside the image
-    vy = (src_y >= -0.5) & (src_y <= h - 0.5)
-    vx = (src_x >= -0.5) & (src_x <= w - 0.5)
-    valid = vy[:, None] & vx[None, :]
-    img = jnp.where(valid[:, :, None], img, 0.0)
+    whn = _nearest_matrix_rows(src_y, h, dtype)
+    wwn = _nearest_matrix_rows(src_x, w, dtype)
+    lbl = labels.astype(dtype)
+    lbl = jnp.einsum("nih,nhw->niw", whn, lbl,
+                     preferred_element_type=jnp.float32)
+    lbl = jnp.einsum("nkw,nhw->nhk", wwn, lbl.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    lbl = jnp.round(lbl).astype(jnp.int32)
+
+    vy = (src_y >= -0.5) & (src_y <= h - 0.5)       # (N, ch)
+    vx = (src_x >= -0.5) & (src_x <= w - 0.5)       # (N, cw)
+    valid = vy[:, :, None] & vx[:, None, :]
+    img = jnp.where(valid[..., None], img, 0.0)
     lbl = jnp.where(valid, lbl, ignore_index)
     return img, lbl
 
@@ -166,11 +186,12 @@ def augment_batch(
     ox = jnp.where(scale * w < cw, (scale * w - cw) / 2.0, ox)
     flip = jax.random.uniform(ks[3], (n,)) < cfg.hflip_prob
 
-    imgs_f = images.astype(jnp.float32) / 255.0
-    warp = jax.vmap(
-        lambda im, lb, s, y, x, f: _warp_one(im, lb, s, y, x, f, cfg.crop,
-                                             cfg.ignore_index))
-    out_img, out_lbl = warp(imgs_f, labels.astype(jnp.int32), scale, oy, ox, flip)
+    # bf16 sampling matrices on TPU (MXU-native; ≤1 uint8 LSB of rounding,
+    # immaterial for augmentation), fp32 elsewhere (test exactness on CPU)
+    warp_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                  else jnp.float32)
+    out_img, out_lbl = _warp_batch(images, labels, scale, oy, ox, flip,
+                                   cfg.crop, cfg.ignore_index, warp_dtype)
 
     if cfg.brightness or cfg.contrast or cfg.saturation or cfg.hue:
         b = jax.random.uniform(ks[4], (n,), minval=1 - cfg.brightness,

@@ -104,12 +104,18 @@ def make_train_step(
     *,
     donate: bool = True,
     jit: bool = True,
+    remat: bool = False,
 ):
     """Build the compiled train step: state, images, labels -> state, metrics.
 
     `loss_fn(outputs, labels)` defaults to plain CE with ignore_index=255.
     The returned function is pure; under a mesh, shard `images`/`labels`
     over 'data' and leave state replicated — GSPMD handles the rest.
+
+    `remat=True` rematerialises the forward during backward
+    (jax.checkpoint via nnx.remat) — trades ~⅓ more FLOPs for dropping all
+    forward activations from HBM, the full-res memory lever of SURVEY.md §7
+    ("Full-res memory") / §5 ("long-context" analog).
     """
     if loss_fn is None:
         loss_fn = lambda outputs, labels: cross_entropy_loss(outputs, labels)
@@ -118,8 +124,11 @@ def make_train_step(
         model = nnx.merge(graphdef, state.params, state.rest)
 
         def compute_loss(model):
-            outputs = model(images)
-            return loss_fn(outputs, labels)
+            def fwd(model, images):
+                return model(images)
+            if remat:
+                fwd = nnx.remat(fwd)
+            return loss_fn(fwd(model, images), labels)
 
         # nnx.value_and_grad lifts BN-stat / RNG mutations across the grad
         # boundary (plain jax.grad would trip nnx's trace-level guard).
