@@ -69,6 +69,31 @@ def build_dataset(name: str, root: str | None, split: str, *,
             label_lut=None,
             class_weights=camvid.enet_class_weights(),
             mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD)
+    if name == "bdd":
+        from torch_semantic_segmentation_tpu.data import bdd
+        if root is None:
+            raise ValueError("--dataset-dir is required for bdd")
+        return DatasetBundle(
+            dataset=bdd.BDDDataset(root, split),
+            num_classes=bdd.NUM_CLASSES,
+            ignore_index=bdd.IGNORE_INDEX,
+            class_names=bdd.CLASS_NAMES,
+            label_lut=None,                      # masks are train-id encoded
+            class_weights=cityscapes.enet_class_weights(),
+            mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD)
+    if name == "mapillary":
+        from torch_semantic_segmentation_tpu.data import mapillary
+        if root is None:
+            raise ValueError("--dataset-dir is required for mapillary")
+        ds = mapillary.MapillaryDataset(root, split)
+        return DatasetBundle(
+            dataset=ds,
+            num_classes=ds.num_classes,
+            ignore_index=mapillary.IGNORE_INDEX,
+            class_names=ds.class_names,
+            label_lut=ds.label_lookup_table(),
+            class_weights=None,
+            mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD)
     if name == "synthetic":
         n, h, w = synthetic_size
         num_classes = 19
@@ -81,7 +106,7 @@ def build_dataset(name: str, root: str | None, split: str, *,
             class_weights=None,
             mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD)
     raise ValueError(f"unknown dataset '{name}' "
-                     f"(cityscapes | camvid | synthetic)")
+                     f"(cityscapes | camvid | bdd | mapillary | synthetic)")
 
 
 def build_loss(loss: str, *, ignore_index: int, aux_weight: float,

@@ -23,7 +23,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="fastscnn")
     p.add_argument("--dataset", default="cityscapes",
-                   choices=["cityscapes", "camvid", "synthetic"])
+                   choices=["cityscapes", "camvid", "bdd", "mapillary", "synthetic"])
     p.add_argument("--dataset-dir", default=None)
     p.add_argument("--split", default="val")
     p.add_argument("--batch-size", type=int, default=4)

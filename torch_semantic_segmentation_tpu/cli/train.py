@@ -20,14 +20,18 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from flax import nnx
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None,
+                   help="JSON config file (configs/*.json, one per contract "
+                        "config); explicit flags override its values")
     p.add_argument("--model", default="fastscnn")
     p.add_argument("--dataset", default="cityscapes",
-                   choices=["cityscapes", "camvid", "synthetic"])
+                   choices=["cityscapes", "camvid", "bdd", "mapillary", "synthetic"])
     p.add_argument("--dataset-dir", default=None)
     p.add_argument("--batch-size", type=int, default=16,
                    help="global batch (split across the data mesh axis)")
@@ -44,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--class-weights", action="store_true",
                    help="use ENet-style 1/ln(c+p) class weights")
     p.add_argument("--ohem-min-kept", type=int, default=100_000)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise the forward in the backward "
+                        "(jax.checkpoint); wins at full-res where HBM binds")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--checkpoint-dir", default=None)
@@ -51,10 +58,25 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in --checkpoint-dir")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--logdir", default=None,
+                   help="TensorBoard scalar dir (clu metric_writers): loss, "
+                        "lr, images/sec/chip (SURVEY.md §5 observability)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrained", default=None,
                    help="torch .pth checkpoint to import before training")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.config:
+        import json
+        with open(args.config) as f:
+            cfg = json.load(f)
+        import sys
+        given = argv if argv is not None else sys.argv[1:]
+        explicit = {a.split("=")[0].lstrip("-").replace("-", "_")
+                    for a in given if a.startswith("--")}
+        for k, v in cfg.items():
+            if k not in explicit:
+                setattr(args, k, v)
+    return args
 
 
 def main(argv=None):
@@ -105,7 +127,8 @@ def main(argv=None):
         aux_weight=args.aux_weight,
         class_weights=bundle.class_weights if args.class_weights else None,
         ohem_min_kept=args.ohem_min_kept)
-    inner = make_train_step(gd_train, tx, loss_fn, jit=False)
+    inner = make_train_step(gd_train, tx, loss_fn, jit=False,
+                            remat=args.remat)
 
     aug_cfg = AugmentConfig(
         crop=crop, scale_range=tuple(args.scale_range),
@@ -136,11 +159,19 @@ def main(argv=None):
                     replicate(jax.random.key_data(data_key), mesh))
                 print(f"resumed from step {start_step}")
 
+    writer = None
+    if args.logdir:
+        from clu import metric_writers
+        writer = metric_writers.create_default_writer(args.logdir)
+
     sharding = batch_sharding(mesh)
     host = batch_iterator(bundle.dataset, args.batch_size,
                           seed=args.seed, label_lut=bundle.label_lut)
     dev = prefetch_to_device(host, size=2, sharding=sharding)
 
+    lr_schedule = optax.polynomial_schedule(
+        init_value=opt_cfg.lr, end_value=0.0, power=opt_cfg.power,
+        transition_steps=opt_cfg.max_steps)
     t0 = time.perf_counter()
     imgs_done = 0
     loss_val = float("nan")
@@ -152,9 +183,16 @@ def main(argv=None):
         if (it + 1) % args.log_every == 0 or it + 1 == args.max_iterations:
             loss_val = float(metrics["loss"])   # device sync point
             dt = time.perf_counter() - t0
+            img_s = imgs_done / dt
             print(f"it {it + 1}/{args.max_iterations} "
                   f"loss {loss_val:.4f} "
-                  f"img/s {imgs_done / dt:.1f}")
+                  f"img/s {img_s:.1f}")
+            if writer is not None:
+                writer.write_scalars(it + 1, {
+                    "train/loss": loss_val,
+                    "train/images_per_sec_per_chip": img_s / n_dev,
+                    "train/lr": float(lr_schedule(it)),
+                })
             t0, imgs_done = time.perf_counter(), 0
         if mgr is not None:
             mgr.save(it + 1, state, data_key=data_key,
@@ -162,6 +200,8 @@ def main(argv=None):
     if mgr is not None:
         mgr.wait()
         mgr.close()
+    if writer is not None:
+        writer.flush()
     print(f"done: final loss {loss_val:.4f}")
     return state
 
