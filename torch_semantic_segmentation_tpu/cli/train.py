@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument("--logdir", default=None,
                    help="TensorBoard scalar dir (clu metric_writers): loss, "
                         "lr, images/sec/chip (SURVEY.md §5 observability)")
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ decode/prefetch loader (native/) "
+                        "instead of Python threads")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrained", default=None,
                    help="torch .pth checkpoint to import before training")
@@ -165,8 +168,15 @@ def main(argv=None):
         writer = metric_writers.create_default_writer(args.logdir)
 
     sharding = batch_sharding(mesh)
-    host = batch_iterator(bundle.dataset, args.batch_size,
-                          seed=args.seed, label_lut=bundle.label_lut)
+    if args.native_loader:
+        from torch_semantic_segmentation_tpu.data.native_loader import (
+            native_batch_iterator)
+        host = native_batch_iterator(bundle.dataset, args.batch_size,
+                                     seed=args.seed,
+                                     label_lut=bundle.label_lut)
+    else:
+        host = batch_iterator(bundle.dataset, args.batch_size,
+                              seed=args.seed, label_lut=bundle.label_lut)
     dev = prefetch_to_device(host, size=2, sharding=sharding)
 
     lr_schedule = optax.polynomial_schedule(
