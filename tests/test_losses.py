@@ -95,3 +95,28 @@ def test_aux_weighted_loss_combines_and_resizes():
     total = aux_weighted_loss([jnp.asarray(logits), jnp.asarray(aux)],
                               jnp.asarray(labels), aux_weight=0.4)
     assert float(total) > float(main_only)
+
+
+def test_resize_cross_entropy_matches_resize_then_ce():
+    """Fused NHCW resize+CE == resize_bilinear -> CE (values and grads)."""
+    import numpy as np
+    from torch_semantic_segmentation_tpu.losses import resize_cross_entropy_loss
+    from torch_semantic_segmentation_tpu.ops import resize_bilinear
+
+    import jax
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 8, 12, 5)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 6, (2, 64, 96)).astype(np.int32))
+    labels = jnp.where(labels == 5, 255, labels)
+    cw = np.linspace(0.5, 2.0, 5).astype(np.float32)
+    for w in (None, cw):
+        a = resize_cross_entropy_loss(logits, labels, class_weights=w)
+        b = cross_entropy_loss(resize_bilinear(logits, (64, 96)), labels,
+                               class_weights=w)
+        assert abs(float(a) - float(b)) < 1e-5
+    g1 = jax.grad(lambda l: resize_cross_entropy_loss(l, labels))(logits)
+    g2 = jax.grad(lambda l: cross_entropy_loss(
+        resize_bilinear(l, (64, 96)), labels))(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)

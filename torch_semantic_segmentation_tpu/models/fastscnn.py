@@ -136,11 +136,16 @@ class FastSCNN(nnx.Module):
     """
 
     def __init__(self, num_classes: int = 19, in_ch: int = 3, *,
-                 aux: bool = False, align_corners: bool = False, dtype=None,
+                 aux: bool = False, align_corners: bool = False,
+                 upsample_logits: bool = True, dtype=None,
                  param_dtype=jnp.float32, rngs: nnx.Rngs):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.aux = aux
         self.align_corners = align_corners
+        # upsample_logits=False returns the 1/8-res logits so the training
+        # loss can fuse the ×8 upsample (losses.resize_cross_entropy_loss);
+        # parameters are identical either way.
+        self.upsample_logits = upsample_logits
         self.lds = LearningToDownsample(in_ch, (32, 48, 64), **kw)
         self.gfe = GlobalFeatureExtractor(64, (64, 96, 128), 128, **kw)
         self.ffm = FeatureFusion(64, 128, 128, align_corners=align_corners, **kw)
@@ -160,17 +165,19 @@ class FastSCNN(nnx.Module):
         lo = self.gfe(hi)              # 1/32
         fused = self.ffm(hi, lo)       # 1/8
         logits = self.classifier(fused)
-        logits = resize_bilinear(logits, (h, w),
-                                 align_corners=self.align_corners)
+        if self.upsample_logits:
+            logits = resize_bilinear(logits, (h, w),
+                                     align_corners=self.align_corners)
         if self.aux:
             return logits, self.aux_lds(hi), self.aux_gfe(lo)
         return logits
 
 
-def fastscnn(num_classes: int = 19, *, aux: bool = False, dtype=None,
+def fastscnn(num_classes: int = 19, *, aux: bool = False,
+             upsample_logits: bool = True, dtype=None,
              param_dtype=jnp.float32, rngs: nnx.Rngs | None = None) -> FastSCNN:
     """Constructor mirroring the reference's `fastscnn(num_classes)` API."""
     if rngs is None:
         rngs = nnx.Rngs(0)
-    return FastSCNN(num_classes, aux=aux, dtype=dtype,
-                    param_dtype=param_dtype, rngs=rngs)
+    return FastSCNN(num_classes, aux=aux, upsample_logits=upsample_logits,
+                    dtype=dtype, param_dtype=param_dtype, rngs=rngs)
