@@ -194,3 +194,21 @@ def test_enet_full_model_parity():
     x = np.random.RandomState(3).randn(2, 3, 32, 64).astype(np.float32)
     got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fastscnn_full_model_parity():
+    """Flagship-model parity: FastSCNN per-pixel logits under an imported
+    torch checkpoint (ds-separable/inverted-residual/PPM/FFM semantics +
+    adaptive-pool and bilinear-resize conventions)."""
+    from tests.torch_oracles import TorchFastSCNN
+    from torch_semantic_segmentation_tpu.models.fastscnn import fastscnn
+
+    torch.manual_seed(1)
+    tmodel = TorchFastSCNN(num_classes=9)
+    _randomize_bn_stats(tmodel)
+    jmodel = fastscnn(9)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(4).randn(2, 3, 64, 96).astype(np.float32)
+    got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

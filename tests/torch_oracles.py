@@ -162,3 +162,125 @@ class TorchENet(nn.Module):
         for b in self.stage5:
             x = b(x)
         return self.fullconv(x)
+
+
+# ---------------- FastSCNN oracle (Poudel 2019) ----------------
+
+class TSeparableConv(nn.Module):
+    """Mirror of ops.SeparableConv: dw ConvBNAct + pw ConvBNAct."""
+
+    def __init__(self, in_ch, out_ch, k=3, *, stride=1, dilation=1):
+        super().__init__()
+        self.dw = TConvBNAct(in_ch, in_ch, k, stride=stride,
+                             dilation=dilation, groups=in_ch)
+        self.pw = TConvBNAct(in_ch, out_ch, 1)
+
+    def forward(self, x):
+        return self.pw(self.dw(x))
+
+
+class TInvertedResidual(nn.Module):
+    def __init__(self, in_ch, out_ch, *, stride=1, expand_ratio=6):
+        super().__init__()
+        hidden = in_ch * expand_ratio
+        self.use_res = stride == 1 and in_ch == out_ch
+        self.expand = TConvBNAct(in_ch, hidden, 1)
+        self.dw = TConvBNAct(hidden, hidden, 3, stride=stride, groups=hidden)
+        self.project = TConvBNAct(hidden, out_ch, 1, act=None)
+
+    def forward(self, x):
+        y = self.project(self.dw(self.expand(x)))
+        return x + y if self.use_res else y
+
+
+class TPyramidPooling(nn.Module):
+    def __init__(self, in_ch, out_ch, bins=(1, 2, 3, 6)):
+        super().__init__()
+        self.bins = bins
+        branch_ch = in_ch // len(bins)
+        self.branches = nn.ModuleList(
+            [TConvBNAct(in_ch, branch_ch, 1) for _ in bins])
+        self.fuse = TConvBNAct(in_ch + branch_ch * len(bins), out_ch, 1)
+
+    def forward(self, x):
+        h, w = x.shape[2], x.shape[3]
+        feats = [x]
+        for b, conv in zip(self.bins, self.branches):
+            y = conv(F.adaptive_avg_pool2d(x, b))
+            feats.append(F.interpolate(y, (h, w), mode="bilinear",
+                                       align_corners=False))
+        return self.fuse(torch.cat(feats, dim=1))
+
+
+class TLearningToDownsample(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv = TConvBNAct(3, 32, 3, stride=2)
+        self.ds1 = TSeparableConv(32, 48, stride=2)
+        self.ds2 = TSeparableConv(48, 64, stride=2)
+
+    def forward(self, x):
+        return self.ds2(self.ds1(self.conv(x)))
+
+
+class TGlobalFeatureExtractor(nn.Module):
+    def __init__(self):
+        super().__init__()
+        def stage(cin, cout, n, s):
+            mods = [TInvertedResidual(cin, cout, stride=s)]
+            mods += [TInvertedResidual(cout, cout) for _ in range(n - 1)]
+            return nn.ModuleList(mods)
+        self.stage1 = stage(64, 64, 3, 2)
+        self.stage2 = stage(64, 96, 3, 2)
+        self.stage3 = stage(96, 128, 3, 1)
+        self.ppm = TPyramidPooling(128, 128)
+
+    def forward(self, x):
+        for st in (self.stage1, self.stage2, self.stage3):
+            for blk in st:
+                x = blk(x)
+        return self.ppm(x)
+
+
+class TFeatureFusion(nn.Module):
+    def __init__(self, scale=4):
+        super().__init__()
+        self.scale = scale
+        self.dwconv = TConvBNAct(128, 128, 3, dilation=scale, groups=128)
+        self.low_proj = TConvBNAct(128, 128, 1, act=None, use_bias=True)
+        self.high_proj = TConvBNAct(64, 128, 1, act=None, use_bias=True)
+
+    def forward(self, high, low):
+        low = F.interpolate(low, high.shape[2:], mode="bilinear",
+                            align_corners=False)
+        return F.relu(self.low_proj(self.dwconv(low)) + self.high_proj(high))
+
+
+class TClassifier(nn.Module):
+    def __init__(self, num_classes):
+        super().__init__()
+        self.ds1 = TSeparableConv(128, 128)
+        self.ds2 = TSeparableConv(128, 128)
+        self.dropout = nn.Dropout(0.1)
+        self.conv = nn.Conv2d(128, num_classes, 1)
+
+    def forward(self, x):
+        return self.conv(self.dropout(self.ds2(self.ds1(x))))
+
+
+class TorchFastSCNN(nn.Module):
+    """FastSCNN oracle, attribute-parallel to models.fastscnn.FastSCNN."""
+
+    def __init__(self, num_classes=19):
+        super().__init__()
+        self.lds = TLearningToDownsample()
+        self.gfe = TGlobalFeatureExtractor()
+        self.ffm = TFeatureFusion()
+        self.classifier = TClassifier(num_classes)
+
+    def forward(self, x):
+        hi = self.lds(x)
+        lo = self.gfe(hi)
+        y = self.classifier(self.ffm(hi, lo))
+        return F.interpolate(y, x.shape[2:], mode="bilinear",
+                             align_corners=False)

@@ -128,11 +128,30 @@ class ConvTranspose2d(nnx.Module):
         return y
 
 
+def _torch_conv_init(in_ch: int, groups: int, kernel_size) -> tuple:
+    """torch Conv2d default init: kaiming_uniform(a=√5) for the kernel and
+    uniform(±1/√fan_in) for the bias — matched so training-from-scratch
+    behaves like the reference's (flax's default is lecun_normal)."""
+    kh, kw = _pair(kernel_size)
+    fan_in = (in_ch // groups) * kh * kw
+    bound = 1.0 / fan_in ** 0.5   # kaiming_uniform(a=√5) ⇒ √(6/((1+5)fan)) = 1/√fan
+
+    def kernel_init(key, shape, dtype):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    def bias_init(key, shape, dtype):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return kernel_init, bias_init
+
+
 def make_conv(in_ch: int, out_ch: int, kernel_size, *, stride=1, padding=0,
               dilation=1, groups: int = 1, use_bias: bool = True,
               dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs) -> nnx.Conv:
-    """nnx.Conv with torch Conv2d conventions (explicit symmetric padding)."""
+    """nnx.Conv with torch Conv2d conventions (explicit symmetric padding,
+    kaiming-uniform init)."""
     ph, pw = _pair(padding)
+    kernel_init, bias_init = _torch_conv_init(in_ch, groups, kernel_size)
     return nnx.Conv(
         in_ch, out_ch, _pair(kernel_size),
         strides=_pair(stride),
@@ -140,6 +159,7 @@ def make_conv(in_ch: int, out_ch: int, kernel_size, *, stride=1, padding=0,
         kernel_dilation=_pair(dilation),
         feature_group_count=groups,
         use_bias=use_bias,
+        kernel_init=kernel_init, bias_init=bias_init,
         dtype=dtype, param_dtype=param_dtype, rngs=rngs,
     )
 
