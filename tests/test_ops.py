@@ -172,3 +172,63 @@ def test_prelu_parity():
     m = ops.PReLU(6, rngs=nnx.Rngs(0))
     m.alpha[...] = jnp.asarray(alpha)
     assert_close(m(jnp.asarray(x)), ref)
+
+
+def test_fold_batchnorm_preserves_eval_outputs():
+    """ops.fold: folded conv == conv->BN in eval mode, and BN is gone."""
+    from flax import nnx
+    from torch_semantic_segmentation_tpu.models import fastscnn
+    from torch_semantic_segmentation_tpu.ops.fold import fold_batchnorm
+
+    m = fastscnn.fastscnn(5, rngs=nnx.Rngs(0))
+    m.eval()
+    # non-trivial running stats so folding is actually exercised
+    import numpy as np
+    rng = np.random.default_rng(0)
+    for _, mod in _iter_mods(m):
+        if isinstance(mod, nnx.BatchNorm):
+            mod.mean[...] = jnp.asarray(
+                rng.normal(0, 0.5, mod.mean.shape).astype(np.float32))
+            mod.var[...] = jnp.asarray(
+                rng.uniform(0.5, 2.0, mod.var.shape).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    want = m(x)
+    n = fold_batchnorm(m)
+    assert n > 20                       # every ConvBNAct in FastSCNN folded
+    got = m(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def _iter_mods(mod, prefix=""):
+    from flax import nnx
+    yield prefix, mod
+    for name, value in vars(mod).items():
+        if name.startswith("_"):
+            continue
+        if isinstance(value, nnx.Module) and not isinstance(value, nnx.List):
+            yield from _iter_mods(value, f"{prefix}.{name}")
+        elif isinstance(value, (nnx.List, list, tuple)):
+            for i, item in enumerate(value):
+                if isinstance(item, nnx.Module):
+                    yield from _iter_mods(item, f"{prefix}.{name}.{i}")
+
+
+def test_compute_class_weights():
+    from torch_semantic_segmentation_tpu.data.class_weights import (
+        compute_class_weights, pixel_frequencies)
+    import numpy as np
+
+    class DS:
+        def __len__(self):
+            return 4
+        def __getitem__(self, i):
+            lbl = np.full((8, 8), i % 3, np.uint8)
+            lbl[0, 0] = 255                      # ignored
+            return None, lbl
+
+    freq = pixel_frequencies(DS(), 3)
+    assert abs(freq.sum() - 1.0) < 1e-6
+    assert freq[0] > freq[2]                     # class 0 appears twice
+    w = compute_class_weights(DS(), 3)
+    assert w[2] > w[0]                           # rare class weighted up

@@ -101,3 +101,27 @@ def test_multiscale_eval_with_flip_runs():
             jnp.asarray(images), jnp.asarray(labels))
     total = float(np.asarray(cm).sum())
     assert total == float((np.asarray(labels) != 255).sum())
+
+
+def test_spatial_sharding_matches_unsharded_forward():
+    """H-dimension (spatial) partitioning — the image analog of context
+    parallelism (SURVEY.md §2.4/§5): GSPMD inserts conv halo exchanges and
+    global-pool all-reduces; outputs must equal the unsharded forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from torch_semantic_segmentation_tpu.models import get_model
+    from torch_semantic_segmentation_tpu.parallel import batch_sharding
+
+    model = get_model("fastscnn", num_classes=5)
+    model.eval()
+    gd, st = nnx.split(model)
+    x = jnp.asarray(synthetic_batch(2, 64, 64, 5, seed=7)[0])
+
+    fwd = jax.jit(lambda st, x: nnx.merge(gd, st)(x))
+    want = fwd(st, x)
+
+    mesh = data_parallel_mesh(num_data=2, num_spatial=4)
+    xs = jax.device_put(x, batch_sharding(mesh, spatial_dim=1))
+    st_r = replicate(st, mesh)
+    got = fwd(st_r, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -179,9 +179,10 @@ def make_norm(num_features: int, *, momentum: float = 0.9, epsilon: float = 1e-5
 class ConvBNAct(nnx.Module):
     """conv → BN → activation, the universal block of the zoo (SURVEY.md §1 L1).
 
-    At training time this is three XLA ops the compiler fuses; `fold()` (see
-    `ops.fold_bn`) produces an inference-time conv with BN folded into the
-    kernel/bias so the deployed graph is a single MXU op per block.
+    At training time this is three XLA ops the compiler fuses;
+    `ops.fold.fold_batchnorm(model)` folds the eval-mode BN into the conv
+    kernel/bias in place so the deployed graph is a single MXU op per block
+    (`bn` becomes None).
     """
 
     def __init__(self, in_ch: int, out_ch: int, kernel_size=3, *, stride=1,
@@ -204,7 +205,9 @@ class ConvBNAct(nnx.Module):
             self.act = None
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = self.bn(self.conv(x))
+        y = self.conv(x)
+        if self.bn is not None:
+            y = self.bn(y)
         if self.act is not None:
             return self.act(y)
         return activation(self._act_name)(y)
