@@ -107,3 +107,35 @@ def test_registry_lists_models():
     for name in ("enet", "fastscnn", "unet", "deeplabv3_resnet50",
                  "bisenet", "icnet"):
         assert name in avail, avail
+
+
+@pytest.mark.parametrize("name,kwargs,div", [
+    ("fastscnn", {}, 32),
+    ("deeplabv3_resnet18", {}, 32),
+    ("bisenet", {}, 32),
+    ("icnet", {"depth": 18}, 32),
+    ("contextnet", {}, 32),
+    ("lednet", {}, 16),
+])
+def test_lowres_logits_plus_fused_loss_matches_fullres(name, kwargs, div):
+    """upsample_logits=False + resize_cross_entropy_loss ==
+    full-res logits + plain CE (identical parameters, identical loss)."""
+    from torch_semantic_segmentation_tpu.losses import (
+        resize_cross_entropy_loss)
+
+    h = w = div * 2
+    x = jax.random.normal(jax.random.key(0), (1, h, w, 3), jnp.float32)
+    labels = jax.random.randint(jax.random.key(1), (1, h, w), 0, 7)
+
+    m_full = models.get_model(name, num_classes=7, **kwargs)
+    m_low = models.get_model(name, num_classes=7, upsample_logits=False,
+                             **kwargs)
+    m_full.eval()
+    m_low.eval()
+
+    def main_logits(out):
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    full = cross_entropy_loss(main_logits(m_full(x)), labels)
+    low = resize_cross_entropy_loss(main_logits(m_low(x)), labels)
+    assert abs(float(full) - float(low)) < 1e-4, (float(full), float(low))

@@ -210,6 +210,9 @@ def resize_cross_entropy_loss(
     return jnp.sum(loss * wts) / denom
 
 
+resize_cross_entropy_loss.handles_resize = True  # aux_weighted_loss skips its pre-resize
+
+
 def aux_weighted_loss(
     main_and_aux_logits: tp.Sequence[jax.Array],
     labels: jax.Array,
@@ -226,9 +229,10 @@ def aux_weighted_loss(
     from torch_semantic_segmentation_tpu.ops.upsample import resize_bilinear
 
     lh, lw = labels.shape[1], labels.shape[2]
+    handles_resize = getattr(loss_fn, "handles_resize", False)
     total = jnp.asarray(0.0, jnp.float32)
     for i, lg in enumerate(main_and_aux_logits):
-        if lg.shape[1:3] != (lh, lw):
+        if lg.shape[1:3] != (lh, lw) and not handles_resize:
             lg = resize_bilinear(lg, (lh, lw), align_corners=align_corners)
         li = loss_fn(lg, labels, **loss_kwargs)
         total = total + (li if i == 0 else aux_weight * li)

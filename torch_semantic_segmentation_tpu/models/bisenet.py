@@ -129,11 +129,16 @@ class BiSeNet(nnx.Module):
     """
 
     def __init__(self, num_classes: int = 19, *, depth: int = 18,
-                 aux: bool = True, align_corners: bool = False, dtype=None,
+                 aux: bool = True, align_corners: bool = False,
+                 upsample_logits: bool = True, dtype=None,
                  param_dtype=jnp.float32, rngs: nnx.Rngs):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.aux = aux
         self.align_corners = align_corners
+        # False: logits stay at their head resolutions (1/8, 1/8, 1/16);
+        # losses.resize_cross_entropy_loss / aux_weighted_loss fuse the
+        # upsample in a lane-major layout
+        self.upsample_logits = upsample_logits
         ch = 128
         self.spatial = SpatialPath(3, ch, **kw)
         self.context = ContextPath(depth, ch, align_corners=align_corners, **kw)
@@ -151,21 +156,26 @@ class BiSeNet(nnx.Module):
         sp = self.spatial(x)
         cp8, cp16 = self.context(x)
         y = self.head(self.ffm(sp, cp8))
-        y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
+        if self.upsample_logits:
+            y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
         if self.aux:
-            a16 = resize_bilinear(self.aux_head16(cp8), (h, w),
-                                  align_corners=self.align_corners)
-            a32 = resize_bilinear(self.aux_head32(cp16), (h, w),
-                                  align_corners=self.align_corners)
+            a16 = self.aux_head16(cp8)
+            a32 = self.aux_head32(cp16)
+            if self.upsample_logits:
+                a16 = resize_bilinear(a16, (h, w),
+                                      align_corners=self.align_corners)
+                a32 = resize_bilinear(a32, (h, w),
+                                      align_corners=self.align_corners)
             return y, a16, a32
         return y
 
 
 def bisenet(num_classes: int = 19, *, depth: int = 18, aux: bool = True,
-            dtype=None, param_dtype=jnp.float32,
+            upsample_logits: bool = True, dtype=None, param_dtype=jnp.float32,
             rngs: nnx.Rngs | None = None) -> BiSeNet:
     """Constructor mirroring the reference's `bisenet(num_classes)` API."""
     if rngs is None:
         rngs = nnx.Rngs(0)
-    return BiSeNet(num_classes, depth=depth, aux=aux, dtype=dtype,
+    return BiSeNet(num_classes, depth=depth, aux=aux,
+                   upsample_logits=upsample_logits, dtype=dtype,
                    param_dtype=param_dtype, rngs=rngs)

@@ -83,11 +83,13 @@ class ContextNet(nnx.Module):
     """
 
     def __init__(self, num_classes: int = 19, *, aux: bool = False,
-                 align_corners: bool = False, dtype=None,
-                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+                 align_corners: bool = False, upsample_logits: bool = True,
+                 dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.aux = aux
         self.align_corners = align_corners
+        # False: 1/8-res logits for the fused resize-CE loss
+        self.upsample_logits = upsample_logits
         self.detail = DetailBranch(3, **kw)
         self.context = ContextBranch(3, 128, **kw)
         self.ffm = FeatureFusion(128, 128, 128,
@@ -109,17 +111,20 @@ class ContextNet(nnx.Module):
         context = self.context(x4)                              # 1/32
         fused = self.ffm(detail, context)                       # 1/8
         y = self.classifier(fused)
-        y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
+        if self.upsample_logits:
+            y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
         if self.aux:
             return y, self.aux_detail(detail), self.aux_context(context)
         return y
 
 
-def contextnet(num_classes: int = 19, *, aux: bool = False, dtype=None,
+def contextnet(num_classes: int = 19, *, aux: bool = False,
+               upsample_logits: bool = True, dtype=None,
                param_dtype=jnp.float32,
                rngs: nnx.Rngs | None = None) -> ContextNet:
     """Constructor mirroring the reference's `contextnet(num_classes)` API."""
     if rngs is None:
         rngs = nnx.Rngs(0)
-    return ContextNet(num_classes, aux=aux, dtype=dtype,
+    return ContextNet(num_classes, aux=aux, upsample_logits=upsample_logits,
+                      dtype=dtype,
                       param_dtype=param_dtype, rngs=rngs)

@@ -35,10 +35,14 @@ class DeepLabV3(nnx.Module):
     def __init__(self, num_classes: int = 19, *, depth: int = 50,
                  output_stride: int = 16, aspp_channels: int = 256,
                  aux: bool = False, align_corners: bool = False,
+                 upsample_logits: bool = True,
                  dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.aux = aux
         self.align_corners = align_corners
+        # False: return output-stride-res logits; pair with
+        # losses.resize_cross_entropy_loss (lane-major fused upsample)
+        self.upsample_logits = upsample_logits
         self.backbone = ResNet(depth, output_stride=output_stride, **kw)
         # ASPP rates double at output-stride 8 (DeepLabV3 §4.2)
         rates = (12, 24, 36) if output_stride == 8 else (6, 12, 18)
@@ -55,7 +59,8 @@ class DeepLabV3(nnx.Module):
         h, w = x.shape[1], x.shape[2]
         _, _, c3, c4 = self.backbone(x)
         y = self.classifier(self.dropout(self.aspp(c4)))
-        y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
+        if self.upsample_logits:
+            y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
         if self.aux:
             return y, self.aux_head(c3)
         return y
@@ -63,13 +68,14 @@ class DeepLabV3(nnx.Module):
 
 def _make(depth):
     def ctor(num_classes: int = 19, *, output_stride: int = 16,
-             aux: bool = False, dtype=None, param_dtype=jnp.float32,
+             aux: bool = False, upsample_logits: bool = True, dtype=None,
+             param_dtype=jnp.float32,
              rngs: nnx.Rngs | None = None) -> DeepLabV3:
         if rngs is None:
             rngs = nnx.Rngs(0)
         return DeepLabV3(num_classes, depth=depth, output_stride=output_stride,
-                         aux=aux, dtype=dtype, param_dtype=param_dtype,
-                         rngs=rngs)
+                         aux=aux, upsample_logits=upsample_logits,
+                         dtype=dtype, param_dtype=param_dtype, rngs=rngs)
     ctor.__name__ = f"deeplabv3_resnet{depth}"
     ctor.__doc__ = (f"DeepLabV3 with a dilated ResNet-{depth} backbone "
                     f"(reference DeepLab-style constructor parity).")

@@ -62,11 +62,14 @@ class ICNet(nnx.Module):
     """
 
     def __init__(self, num_classes: int = 19, *, depth: int = 50,
-                 aux: bool = True, align_corners: bool = False, dtype=None,
+                 aux: bool = True, align_corners: bool = False,
+                 upsample_logits: bool = True, dtype=None,
                  param_dtype=jnp.float32, rngs: nnx.Rngs):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.aux = aux
         self.align_corners = align_corners
+        # False: main logits stay at 1/4 res for the fused resize-CE loss
+        self.upsample_logits = upsample_logits
 
         # sub1: full-res spatial branch
         self.sub1 = nnx.List([
@@ -131,7 +134,8 @@ class ICNet(nnx.Module):
 
         y = resize_bilinear(fused1, (h // 4, w // 4), align_corners=ac)
         y = self.classifier(y)
-        y = resize_bilinear(y, (h, w), align_corners=ac)
+        if self.upsample_logits:
+            y = resize_bilinear(y, (h, w), align_corners=ac)
         if self.aux:
             a2 = self.aux_cls2(low_up2)                      # 1/16 grid
             a1 = self.aux_cls1(low_up1)                      # 1/8 grid
@@ -140,10 +144,11 @@ class ICNet(nnx.Module):
 
 
 def icnet(num_classes: int = 19, *, depth: int = 50, aux: bool = True,
-          dtype=None, param_dtype=jnp.float32,
+          upsample_logits: bool = True, dtype=None, param_dtype=jnp.float32,
           rngs: nnx.Rngs | None = None) -> ICNet:
     """Constructor mirroring the reference's `icnet(num_classes)` API."""
     if rngs is None:
         rngs = nnx.Rngs(0)
-    return ICNet(num_classes, depth=depth, aux=aux, dtype=dtype,
+    return ICNet(num_classes, depth=depth, aux=aux,
+                 upsample_logits=upsample_logits, dtype=dtype,
                  param_dtype=param_dtype, rngs=rngs)

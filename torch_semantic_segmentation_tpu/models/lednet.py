@@ -130,10 +130,12 @@ class LEDNet(nnx.Module):
     pyramid needs the 1/8 grid even)."""
 
     def __init__(self, num_classes: int = 19, in_ch: int = 3, *,
-                 align_corners: bool = False, dtype=None,
-                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+                 align_corners: bool = False, upsample_logits: bool = True,
+                 dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.align_corners = align_corners
+        # False: 1/8-res APN logits for the fused resize-CE loss
+        self.upsample_logits = upsample_logits
         self.encoder = nnx.List(
             [DownsamplerBlock(in_ch, 32, **kw)]
             + [SSnbt(32, **kw) for _ in range(3)]
@@ -152,12 +154,16 @@ class LEDNet(nnx.Module):
         for blk in self.encoder:
             x = blk(x)
         y = self.apn(x)
-        return resize_bilinear(y, (h, w), align_corners=self.align_corners)
+        if self.upsample_logits:
+            y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
+        return y
 
 
-def lednet(num_classes: int = 19, *, dtype=None, param_dtype=jnp.float32,
+def lednet(num_classes: int = 19, *, upsample_logits: bool = True,
+           dtype=None, param_dtype=jnp.float32,
            rngs: nnx.Rngs | None = None) -> LEDNet:
     """Constructor mirroring the reference's `lednet(num_classes)` API."""
     if rngs is None:
         rngs = nnx.Rngs(0)
-    return LEDNet(num_classes, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+    return LEDNet(num_classes, upsample_logits=upsample_logits, dtype=dtype,
+                  param_dtype=param_dtype, rngs=rngs)
