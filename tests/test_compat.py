@@ -212,3 +212,20 @@ def test_fastscnn_full_model_parity():
     x = np.random.RandomState(4).randn(2, 3, 64, 96).astype(np.float32)
     got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_deeplab_full_model_parity():
+    """DeepLabV3-ResNet18 parity: dilated-backbone + multi-grid + ASPP
+    (image-level pooling broadcast) + bilinear head."""
+    from tests.torch_oracles import TorchDeepLabV3R18
+    from torch_semantic_segmentation_tpu.models.deeplab import deeplabv3_resnet18
+
+    torch.manual_seed(2)
+    tmodel = TorchDeepLabV3R18(num_classes=7)
+    _randomize_bn_stats(tmodel)
+    jmodel = deeplabv3_resnet18(7)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(5).randn(1, 3, 64, 64).astype(np.float32)
+    got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

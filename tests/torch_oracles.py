@@ -284,3 +284,93 @@ class TorchFastSCNN(nn.Module):
         y = self.classifier(self.ffm(hi, lo))
         return F.interpolate(y, x.shape[2:], mode="bilinear",
                              align_corners=False)
+
+
+# ---------------- DeepLabV3 oracle (Chen 2017) ----------------
+
+class TBasicBlock(nn.Module):
+    def __init__(self, in_ch, ch, *, stride=1, dilation=1):
+        super().__init__()
+        self.conv1 = TConvBNAct(in_ch, ch, 3, stride=stride, dilation=dilation)
+        self.conv2 = TConvBNAct(ch, ch, 3, dilation=dilation, act=None)
+        self.down = (TConvBNAct(in_ch, ch, 1, stride=stride, act=None,
+                                padding=0)
+                     if stride != 1 or in_ch != ch else None)
+
+    def forward(self, x):
+        y = self.conv2(self.conv1(x))
+        skip = self.down(x) if self.down is not None else x
+        return F.relu(y + skip)
+
+
+class TResNet18(nn.Module):
+    """Dilated ResNet-18, attribute-parallel to models.resnet.ResNet."""
+
+    def __init__(self, output_stride=16, multi_grid=(1, 2, 4)):
+        super().__init__()
+        self.stem = TConvBNAct(3, 64, 7, stride=2, padding=3)
+        if output_stride == 8:
+            strides, dils = (1, 2, 1, 1), (1, 1, 2, 4)
+        elif output_stride == 16:
+            strides, dils = (1, 2, 2, 1), (1, 1, 1, 2)
+        else:
+            strides, dils = (1, 2, 2, 2), (1, 1, 1, 1)
+        chans, counts = (64, 128, 256, 512), (2, 2, 2, 2)
+        in_c = 64
+        stages = []
+        for si, (ch, n, st, dl) in enumerate(zip(chans, counts, strides, dils)):
+            blocks = []
+            for bi in range(n):
+                mg = multi_grid[min(bi, len(multi_grid) - 1)] \
+                    if (si == 3 and dl > 1) else 1
+                blocks.append(TBasicBlock(in_c, ch,
+                                          stride=st if bi == 0 else 1,
+                                          dilation=dl * mg))
+                in_c = ch
+            stages.append(nn.ModuleList(blocks))
+        self.stage1, self.stage2, self.stage3, self.stage4 = stages
+
+    def forward(self, x):
+        x = self.stem(x)
+        x = F.max_pool2d(x, 3, stride=2, padding=1)
+        feats = []
+        for stage in (self.stage1, self.stage2, self.stage3, self.stage4):
+            for blk in stage:
+                x = blk(x)
+            feats.append(x)
+        return feats
+
+
+class TASPP(nn.Module):
+    def __init__(self, in_ch, out_ch=256, rates=(6, 12, 18)):
+        super().__init__()
+        self.conv1 = TConvBNAct(in_ch, out_ch, 1)
+        self.atrous = nn.ModuleList(
+            [TConvBNAct(in_ch, out_ch, 3, dilation=r) for r in rates])
+        self.image_pool = TConvBNAct(in_ch, out_ch, 1)
+        self.project = TConvBNAct(out_ch * (2 + len(rates)), out_ch, 1)
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        feats = [self.conv1(x)] + [conv(x) for conv in self.atrous]
+        gp = self.image_pool(x.mean(dim=(2, 3), keepdim=True))
+        feats.append(gp.expand(n, gp.shape[1], h, w))
+        return self.project(torch.cat(feats, dim=1))
+
+
+class TorchDeepLabV3R18(nn.Module):
+    """DeepLabV3+ResNet18 oracle, attribute-parallel to models.deeplab."""
+
+    def __init__(self, num_classes=19, output_stride=16):
+        super().__init__()
+        self.backbone = TResNet18(output_stride)
+        rates = (12, 24, 36) if output_stride == 8 else (6, 12, 18)
+        self.aspp = TASPP(512, 256, rates)
+        self.dropout = nn.Dropout(0.1)
+        self.classifier = nn.Conv2d(256, num_classes, 1)
+
+    def forward(self, x):
+        feats = self.backbone(x)
+        y = self.classifier(self.dropout(self.aspp(feats[-1])))
+        return F.interpolate(y, x.shape[2:], mode="bilinear",
+                             align_corners=False)
