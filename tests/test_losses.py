@@ -120,3 +120,19 @@ def test_resize_cross_entropy_matches_resize_then_ce():
         resize_bilinear(l, (64, 96)), labels))(logits)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_resize_ohem_matches_resize_then_ohem():
+    import numpy as np
+    from torch_semantic_segmentation_tpu.losses import (
+        ohem_cross_entropy, resize_ohem_cross_entropy)
+    from torch_semantic_segmentation_tpu.ops import resize_bilinear
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(2, 8, 12, 5)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 6, (2, 64, 96)).astype(np.int32))
+    labels = jnp.where(labels == 5, 255, labels)
+    a = resize_ohem_cross_entropy(logits, labels, min_kept=500)
+    b = ohem_cross_entropy(resize_bilinear(logits, (64, 96)), labels,
+                           min_kept=500)
+    assert abs(float(a) - float(b)) < 1e-5, (float(a), float(b))

@@ -125,3 +125,31 @@ def test_spatial_sharding_matches_unsharded_forward():
     got = fwd(st_r, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_dcn_mesh_matches_single_device():
+    """Hybrid ('dcn_data','data') two-level mesh — the multi-slice scaling
+    path (ICI within a slice, DCN across): batch sharded over both axes
+    must reproduce the single-device step exactly."""
+    from torch_semantic_segmentation_tpu.parallel import (
+        hybrid_batch_sharding, hybrid_data_parallel_mesh)
+
+    gd_train, _, state, tx = _setup()
+    step = make_train_step(gd_train, tx, donate=False)
+    images, labels = synthetic_batch(8, 16, 16, num_classes=5, seed=9)
+    images, labels = jnp.asarray(images), jnp.asarray(labels)
+    ref_state, ref_metrics = step(state, images, labels)
+
+    mesh = hybrid_data_parallel_mesh(num_slices=2)   # 2 "slices" x 4 devices
+    assert mesh.shape == {"dcn_data": 2, "data": 4}
+    sh = hybrid_batch_sharding(mesh)
+    h_state = replicate(state, mesh)
+    h_images = jax.device_put(images, sh)
+    h_labels = jax.device_put(labels, sh)
+    h_state2, h_metrics = step(h_state, h_images, h_labels)
+    np.testing.assert_allclose(float(h_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(h_state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -213,6 +213,75 @@ def resize_cross_entropy_loss(
 resize_cross_entropy_loss.handles_resize = True  # aux_weighted_loss skips its pre-resize
 
 
+def resize_ohem_cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    *,
+    ignore_index: int = 255,
+    thresh: float = 0.7,
+    min_kept: int = 10_000,
+    class_weights: jax.Array | None = None,
+    align_corners: bool = False,
+) -> jax.Array:
+    """OHEM CE on low-res logits upsampled inside the loss — the fused
+    (lane-major) counterpart of `ohem_cross_entropy`, pairing
+    `upsample_logits=False` models with the config-4/5 OHEM recipe.
+
+    The per-pixel loss map is produced by the same N,H,C,W machinery as
+    `resize_cross_entropy_loss`; the hard-example threshold then reuses the
+    histogram-quantile selector (full-res maps are always > 2^20 pixels).
+    """
+    from torch_semantic_segmentation_tpu.ops.upsample import _interp_matrix
+
+    n, h, w, c = logits.shape
+    oh, ow = labels.shape[1], labels.shape[2]
+    if (oh, ow) != (h, w):
+        ww = jnp.asarray(_interp_matrix(w, ow, align_corners), logits.dtype)
+        wh = jnp.asarray(_interp_matrix(h, oh, align_corners), logits.dtype)
+        x = jnp.einsum("nhwc,kw->nhck", logits, ww,
+                       preferred_element_type=jnp.float32
+                       ).astype(logits.dtype)
+        x = jnp.einsum("nhck,oh->nock", x, wh,
+                       preferred_element_type=jnp.float32
+                       ).astype(logits.dtype)
+    else:
+        x = jnp.transpose(logits, (0, 1, 3, 2))
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    xf = x.astype(jnp.float32)
+    logz = jax.nn.logsumexp(xf, axis=2)
+    onehot = (safe[:, :, None, :]
+              == jnp.arange(c, dtype=jnp.int32)[None, None, :, None])
+    true_logit = jnp.sum(xf * onehot.astype(jnp.float32), axis=2)
+    loss = jnp.where(valid, logz - true_logit, 0.0)      # (N, OH, OW)
+
+    flat = loss.reshape(-1)
+    vflat = valid.reshape(-1)
+    k = min(int(min_kept), flat.shape[0])
+    loss_thresh = -math.log(thresh)
+    if k > 0:
+        if flat.shape[0] <= (1 << 20):
+            kth = _threshold_topk_exact(jnp.where(vflat, flat, -jnp.inf), k)
+        else:
+            kth = _threshold_topk_histogram(flat, vflat, k)
+        threshold = jnp.minimum(jnp.asarray(loss_thresh, jnp.float32), kth)
+    else:
+        threshold = jnp.asarray(loss_thresh, jnp.float32)
+    keep = vflat & (flat >= threshold)
+    if class_weights is not None:
+        cw = jnp.asarray(class_weights, dtype=jnp.float32)
+        wmap = jnp.sum(onehot.astype(jnp.float32)
+                       * cw[None, None, :, None], axis=2).reshape(-1)
+        wts = jnp.where(keep, wmap, 0.0)
+    else:
+        wts = keep.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(wts), 1e-12)
+    return jnp.sum(flat * wts) / denom
+
+
+resize_ohem_cross_entropy.handles_resize = True
+
+
 def aux_weighted_loss(
     main_and_aux_logits: tp.Sequence[jax.Array],
     labels: jax.Array,
@@ -243,5 +312,6 @@ __all__ = [
     "cross_entropy_loss",
     "ohem_cross_entropy",
     "resize_cross_entropy_loss",
+    "resize_ohem_cross_entropy",
     "aux_weighted_loss",
 ]

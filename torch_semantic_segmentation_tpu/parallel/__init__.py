@@ -13,8 +13,14 @@ Multi-slice (DCN) scaling later just adds an outer mesh axis.
 from torch_semantic_segmentation_tpu.parallel.mesh import (
     batch_sharding,
     data_parallel_mesh,
+    hybrid_batch_sharding,
+    hybrid_data_parallel_mesh,
+    label_sharding,
     replicate,
     shard_batch,
 )
 
-__all__ = ["batch_sharding", "data_parallel_mesh", "replicate", "shard_batch"]
+__all__ = [
+    "batch_sharding", "data_parallel_mesh", "hybrid_batch_sharding",
+    "hybrid_data_parallel_mesh", "label_sharding", "replicate", "shard_batch",
+]

@@ -32,6 +32,41 @@ def data_parallel_mesh(num_data: int | None = None, num_spatial: int = 1,
     return Mesh(arr, ("data", "spatial"))
 
 
+def hybrid_data_parallel_mesh(
+    num_slices: int | None = None,
+    devices: tp.Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Multi-slice mesh ('dcn_data', 'data') for scaling past one TPU slice
+    (SURVEY.md §2.4 "Communication backend": ICI intra-slice, DCN
+    inter-slice). Shard batches over BOTH axes — P(("dcn_data", "data")) —
+    and GSPMD decomposes the gradient all-reduce into an intra-slice ICI
+    reduce-scatter/all-gather plus a small inter-slice DCN all-reduce.
+
+    `num_slices` defaults to the distinct `slice_index` of visible devices
+    (1 on a single slice or CPU, where the mesh degenerates to plain DP).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if num_slices is None:
+        num_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    n = len(devices)
+    if n % num_slices:
+        raise ValueError(f"{n} devices not divisible by {num_slices} slices")
+    per_slice = n // num_slices
+    if num_slices > 1 and hasattr(devices[0], "slice_index"):
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (per_slice,), (num_slices,), devices=devices)
+        arr = np.asarray(arr).reshape(num_slices, per_slice)
+    else:
+        arr = np.array(devices).reshape(num_slices, per_slice)
+    return Mesh(arr, ("dcn_data", "data"))
+
+
+def hybrid_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batch over both data axes of a hybrid mesh."""
+    return NamedSharding(mesh, P(("dcn_data", "data")))
+
+
 def batch_sharding(mesh: Mesh, *, spatial_dim: int | None = None) -> NamedSharding:
     """Sharding for NHWC batches: N over 'data', optionally H over 'spatial'."""
     if spatial_dim is None:
