@@ -229,3 +229,70 @@ def test_deeplab_full_model_parity():
     x = np.random.RandomState(5).randn(1, 3, 64, 64).astype(np.float32)
     got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bisenet_full_model_parity():
+    """BiSeNet parity under an imported torch checkpoint: spatial path,
+    ResNet-18 context path with ARM global-pool gates, FFM SE attention,
+    main + two aux heads, all at full input resolution."""
+    from tests.torch_oracles import TorchBiSeNet
+    from torch_semantic_segmentation_tpu.models.bisenet import bisenet
+
+    torch.manual_seed(3)
+    tmodel = TorchBiSeNet(num_classes=6)
+    _randomize_bn_stats(tmodel)
+    jmodel = bisenet(6)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(6).randn(2, 3, 64, 96).astype(np.float32)
+    jmodel.eval()
+    tmodel.eval()
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    got = [np.transpose(np.asarray(y), (0, 3, 1, 2)) for y in jmodel(xj)]
+    with torch.no_grad():
+        want = [t.numpy() for t in tmodel(torch.from_numpy(x))]
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-4)
+
+
+def test_icnet_full_model_parity():
+    """ICNet-ResNet50 parity: three-resolution cascade (shared dilated
+    bottleneck trunk + PPM), cascade feature fusion, cascade-label-guidance
+    aux classifiers. Also the only whole-model BottleneckBlock import test."""
+    from tests.torch_oracles import TorchICNet
+    from torch_semantic_segmentation_tpu.models.icnet import icnet
+
+    torch.manual_seed(4)
+    tmodel = TorchICNet(num_classes=5, depth=50)
+    _randomize_bn_stats(tmodel)
+    jmodel = icnet(5, depth=50)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(7).randn(1, 3, 192, 192).astype(np.float32)
+    jmodel.eval()
+    tmodel.eval()
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    got = [np.transpose(np.asarray(y), (0, 3, 1, 2)) for y in jmodel(xj)]
+    with torch.no_grad():
+        want = [t.numpy() for t in tmodel(torch.from_numpy(x))]
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-4)
+
+
+def test_unet_full_model_parity():
+    """Full UNet parity (deconv decoder, base_ch=16 to keep CPU time down):
+    4-stage encoder/decoder, skip concats, transposed-conv upsampling."""
+    from tests.torch_oracles import TorchUNet
+    from torch_semantic_segmentation_tpu.models.unet import unet
+
+    torch.manual_seed(5)
+    tmodel = TorchUNet(num_classes=4, base_ch=16)
+    _randomize_bn_stats(tmodel)
+    jmodel = unet(4, base_ch=16)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(8).randn(1, 3, 48, 64).astype(np.float32)
+    got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

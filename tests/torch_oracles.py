@@ -303,11 +303,42 @@ class TBasicBlock(nn.Module):
         return F.relu(y + skip)
 
 
-class TResNet18(nn.Module):
-    """Dilated ResNet-18, attribute-parallel to models.resnet.ResNet."""
+class TBottleneckBlock(nn.Module):
+    """Mirror of models.resnet.BottleneckBlock (1×1 → 3×3 → 1×1 ×4)."""
 
-    def __init__(self, output_stride=16, multi_grid=(1, 2, 4)):
+    expansion = 4
+
+    def __init__(self, in_ch, ch, *, stride=1, dilation=1):
         super().__init__()
+        out_ch = ch * self.expansion
+        self.conv1 = TConvBNAct(in_ch, ch, 1)
+        self.conv2 = TConvBNAct(ch, ch, 3, stride=stride, dilation=dilation)
+        self.conv3 = TConvBNAct(ch, out_ch, 1, act=None)
+        self.down = (TConvBNAct(in_ch, out_ch, 1, stride=stride, act=None,
+                                padding=0)
+                     if stride != 1 or in_ch != out_ch else None)
+
+    def forward(self, x):
+        y = self.conv3(self.conv2(self.conv1(x)))
+        skip = self.down(x) if self.down is not None else x
+        return F.relu(y + skip)
+
+
+_T_LAYOUTS = {
+    18: (TBasicBlock, 1, (2, 2, 2, 2)),
+    34: (TBasicBlock, 1, (3, 4, 6, 3)),
+    50: (TBottleneckBlock, 4, (3, 4, 6, 3)),
+    101: (TBottleneckBlock, 4, (3, 4, 23, 3)),
+}
+
+
+class TResNet(nn.Module):
+    """Dilated ResNet (18/34/50/101), attribute-parallel to
+    models.resnet.ResNet (BasicBlock and BottleneckBlock layouts)."""
+
+    def __init__(self, depth=18, output_stride=16, multi_grid=(1, 2, 4)):
+        super().__init__()
+        block, expansion, counts = _T_LAYOUTS[depth]
         self.stem = TConvBNAct(3, 64, 7, stride=2, padding=3)
         if output_stride == 8:
             strides, dils = (1, 2, 1, 1), (1, 1, 2, 4)
@@ -315,7 +346,7 @@ class TResNet18(nn.Module):
             strides, dils = (1, 2, 2, 1), (1, 1, 1, 2)
         else:
             strides, dils = (1, 2, 2, 2), (1, 1, 1, 1)
-        chans, counts = (64, 128, 256, 512), (2, 2, 2, 2)
+        chans = (64, 128, 256, 512)
         in_c = 64
         stages = []
         for si, (ch, n, st, dl) in enumerate(zip(chans, counts, strides, dils)):
@@ -323,12 +354,14 @@ class TResNet18(nn.Module):
             for bi in range(n):
                 mg = multi_grid[min(bi, len(multi_grid) - 1)] \
                     if (si == 3 and dl > 1) else 1
-                blocks.append(TBasicBlock(in_c, ch,
-                                          stride=st if bi == 0 else 1,
-                                          dilation=dl * mg))
-                in_c = ch
+                blocks.append(block(in_c, ch,
+                                    stride=st if bi == 0 else 1,
+                                    dilation=dl * mg))
+                in_c = ch * expansion
             stages.append(nn.ModuleList(blocks))
         self.stage1, self.stage2, self.stage3, self.stage4 = stages
+        self.out_channels = in_c
+        self.stage_channels = tuple(c * expansion for c in chans)
 
     def forward(self, x):
         x = self.stem(x)
@@ -339,6 +372,11 @@ class TResNet18(nn.Module):
                 x = blk(x)
             feats.append(x)
         return feats
+
+
+class TResNet18(TResNet):
+    def __init__(self, output_stride=16, multi_grid=(1, 2, 4)):
+        super().__init__(18, output_stride, multi_grid)
 
 
 class TASPP(nn.Module):
@@ -374,3 +412,230 @@ class TorchDeepLabV3R18(nn.Module):
         y = self.classifier(self.dropout(self.aspp(feats[-1])))
         return F.interpolate(y, x.shape[2:], mode="bilinear",
                              align_corners=False)
+
+
+# ---------------- BiSeNet oracle (Yu 2018) ----------------
+
+class TAttentionRefinement(nn.Module):
+    """Mirror of models.bisenet.AttentionRefinement."""
+
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.conv = TConvBNAct(in_ch, out_ch, 3)
+        self.gate_conv = nn.Conv2d(out_ch, out_ch, 1, bias=False)
+        self.gate_bn = nn.BatchNorm2d(out_ch)
+
+    def forward(self, x):
+        x = self.conv(x)
+        g = self.gate_bn(self.gate_conv(x.mean(dim=(2, 3), keepdim=True)))
+        return x * torch.sigmoid(g)
+
+
+class TSpatialPath(nn.Module):
+    def __init__(self, in_ch=3, out_ch=128):
+        super().__init__()
+        self.conv1 = TConvBNAct(in_ch, 64, 7, stride=2, padding=3)
+        self.conv2 = TConvBNAct(64, 64, 3, stride=2)
+        self.conv3 = TConvBNAct(64, 64, 3, stride=2)
+        self.conv4 = TConvBNAct(64, out_ch, 1)
+
+    def forward(self, x):
+        return self.conv4(self.conv3(self.conv2(self.conv1(x))))
+
+
+class TContextPath(nn.Module):
+    def __init__(self, depth=18, out_ch=128):
+        super().__init__()
+        self.backbone = TResNet(depth, output_stride=32)
+        _, _, c16, c32 = self.backbone.stage_channels
+        self.tail = TConvBNAct(c32, out_ch, 1)
+        self.arm32 = TAttentionRefinement(c32, out_ch)
+        self.refine32 = TConvBNAct(out_ch, out_ch, 3)
+        self.arm16 = TAttentionRefinement(c16, out_ch)
+        self.refine16 = TConvBNAct(out_ch, out_ch, 3)
+
+    def forward(self, x):
+        _, _, f16, f32 = self.backbone(x)
+        tail = self.tail(f32.mean(dim=(2, 3), keepdim=True))
+        y32 = self.arm32(f32) + tail
+        y32 = self.refine32(F.interpolate(y32, f16.shape[2:], mode="bilinear",
+                                          align_corners=False))
+        y16 = self.arm16(f16) + y32
+        y16 = self.refine16(F.interpolate(
+            y16, (f16.shape[2] * 2, f16.shape[3] * 2), mode="bilinear",
+            align_corners=False))
+        return y16, y32
+
+
+class TFeatureFusionModule(nn.Module):
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.conv = TConvBNAct(in_ch, out_ch, 1)
+        self.se1 = nn.Conv2d(out_ch, out_ch // 4, 1)
+        self.se2 = nn.Conv2d(out_ch // 4, out_ch, 1)
+
+    def forward(self, sp, cp):
+        x = self.conv(torch.cat([sp, cp], dim=1))
+        g = x.mean(dim=(2, 3), keepdim=True)
+        g = torch.sigmoid(self.se2(F.relu(self.se1(g))))
+        return x + x * g
+
+
+class TBiSeNetHead(nn.Module):
+    def __init__(self, in_ch, mid_ch, num_classes):
+        super().__init__()
+        self.conv = TConvBNAct(in_ch, mid_ch, 3)
+        self.cls = nn.Conv2d(mid_ch, num_classes, 1)
+
+    def forward(self, x):
+        return self.cls(self.conv(x))
+
+
+class TorchBiSeNet(nn.Module):
+    """BiSeNet oracle, attribute-parallel to models.bisenet.BiSeNet
+    (aux=True, upsample_logits=True)."""
+
+    def __init__(self, num_classes=19, depth=18):
+        super().__init__()
+        ch = 128
+        self.spatial = TSpatialPath(3, ch)
+        self.context = TContextPath(depth, ch)
+        self.ffm = TFeatureFusionModule(ch * 2, ch * 2)
+        self.head = TBiSeNetHead(ch * 2, ch * 2, num_classes)
+        self.aux_head16 = TBiSeNetHead(ch, 64, num_classes)
+        self.aux_head32 = TBiSeNetHead(ch, 64, num_classes)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        def up(y):
+            return F.interpolate(y, size, mode="bilinear", align_corners=False)
+        sp = self.spatial(x)
+        cp8, cp16 = self.context(x)
+        y = up(self.head(self.ffm(sp, cp8)))
+        return y, up(self.aux_head16(cp8)), up(self.aux_head32(cp16))
+
+
+# ---------------- ICNet oracle (Zhao 2018) ----------------
+
+class TCascadeFeatureFusion(nn.Module):
+    """Mirror of models.icnet.CascadeFeatureFusion."""
+
+    def __init__(self, low_ch, high_ch, out_ch):
+        super().__init__()
+        self.low_conv = TConvBNAct(low_ch, out_ch, 3, dilation=2, act=None)
+        self.high_conv = TConvBNAct(high_ch, out_ch, 1, act=None)
+
+    def forward(self, low, high):
+        low_up = F.interpolate(low, high.shape[2:], mode="bilinear",
+                               align_corners=False)
+        fused = F.relu(self.low_conv(low_up) + self.high_conv(high))
+        return fused, low_up
+
+
+class TorchICNet(nn.Module):
+    """ICNet oracle, attribute-parallel to models.icnet.ICNet
+    (aux=True, upsample_logits=True; aux logits stay at their grids)."""
+
+    def __init__(self, num_classes=19, depth=50):
+        super().__init__()
+        self.sub1 = nn.ModuleList([
+            TConvBNAct(3, 32, 3, stride=2),
+            TConvBNAct(32, 32, 3, stride=2),
+            TConvBNAct(32, 64, 3, stride=2),
+        ])
+        self.backbone = TResNet(depth, output_stride=8)
+        c2_ch = self.backbone.stage_channels[1]
+        self.ppm = TPyramidPooling(self.backbone.out_channels, 256)
+        self.cff24 = TCascadeFeatureFusion(256, c2_ch, 128)
+        self.cff12 = TCascadeFeatureFusion(128, 64, 128)
+        self.classifier = nn.Conv2d(128, num_classes, 1)
+        self.aux_cls2 = nn.Conv2d(256, num_classes, 1)
+        self.aux_cls1 = nn.Conv2d(128, num_classes, 1)
+
+    def forward(self, x):
+        h, w = x.shape[2:]
+        def interp(y, size):
+            return F.interpolate(y, size, mode="bilinear", align_corners=False)
+        bb = self.backbone
+
+        f1 = x
+        for blk in self.sub1:
+            f1 = blk(f1)
+
+        x2 = interp(x, (h // 2, w // 2))
+        f2 = F.max_pool2d(bb.stem(x2), 3, stride=2, padding=1)
+        for blk in bb.stage1:
+            f2 = blk(f2)
+        for blk in bb.stage2:
+            f2 = blk(f2)
+
+        f4 = interp(f2, (f2.shape[2] // 2, f2.shape[3] // 2))
+        for blk in bb.stage3:
+            f4 = blk(f4)
+        for blk in bb.stage4:
+            f4 = blk(f4)
+        f4 = self.ppm(f4)
+
+        fused2, low_up2 = self.cff24(f4, f2)
+        fused1, low_up1 = self.cff12(fused2, f1)
+
+        y = self.classifier(interp(fused1, (h // 4, w // 4)))
+        y = interp(y, (h, w))
+        return y, self.aux_cls1(low_up1), self.aux_cls2(low_up2)
+
+
+# ---------------- UNet oracle (Ronneberger 2015) ----------------
+
+class TDoubleConv(nn.Module):
+    """Mirror of models.unet.DoubleConv."""
+
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.conv1 = TConvBNAct(in_ch, out_ch, 3)
+        self.conv2 = TConvBNAct(out_ch, out_ch, 3)
+
+    def forward(self, x):
+        return self.conv2(self.conv1(x))
+
+
+class TUpBlock(nn.Module):
+    """Mirror of models.unet.UpBlock (deconv variant)."""
+
+    def __init__(self, in_ch, skip_ch, out_ch):
+        super().__init__()
+        self.up = nn.ConvTranspose2d(in_ch, out_ch, 2, stride=2)
+        self.conv = TDoubleConv(out_ch + skip_ch, out_ch)
+
+    def forward(self, x, skip):
+        return self.conv(torch.cat([self.up(x), skip], dim=1))
+
+
+class TorchUNet(nn.Module):
+    """UNet oracle, attribute-parallel to models.unet.UNet
+    (upsample='deconv')."""
+
+    def __init__(self, num_classes=19, in_ch=3, base_ch=64):
+        super().__init__()
+        b = base_ch
+        self.enc1 = TDoubleConv(in_ch, b)
+        self.enc2 = TDoubleConv(b, 2 * b)
+        self.enc3 = TDoubleConv(2 * b, 4 * b)
+        self.enc4 = TDoubleConv(4 * b, 8 * b)
+        self.bottom = TDoubleConv(8 * b, 16 * b)
+        self.up4 = TUpBlock(16 * b, 8 * b, 8 * b)
+        self.up3 = TUpBlock(8 * b, 4 * b, 4 * b)
+        self.up2 = TUpBlock(4 * b, 2 * b, 2 * b)
+        self.up1 = TUpBlock(2 * b, b, b)
+        self.head = nn.Conv2d(b, num_classes, 1)
+
+    def forward(self, x):
+        s1 = self.enc1(x)
+        s2 = self.enc2(F.max_pool2d(s1, 2))
+        s3 = self.enc3(F.max_pool2d(s2, 2))
+        s4 = self.enc4(F.max_pool2d(s3, 2))
+        y = self.bottom(F.max_pool2d(s4, 2))
+        y = self.up4(y, s4)
+        y = self.up3(y, s3)
+        y = self.up2(y, s2)
+        y = self.up1(y, s1)
+        return self.head(y)
