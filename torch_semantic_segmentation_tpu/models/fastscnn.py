@@ -103,11 +103,17 @@ class FeatureFusion(nnx.Module):
         self.high_proj = ConvBNAct(high_ch, out_ch, 1, act=None, use_bias=True, **kw)
 
     def __call__(self, high: jax.Array, low: jax.Array) -> jax.Array:
+        from torch_semantic_segmentation_tpu.ops.pallas_sepconv import (
+            fuse_conv_pair)
         h, w = high.shape[1], high.shape[2]
         low = resize_bilinear(low, (h, w), align_corners=self.align_corners)
-        low = self.low_proj(self.dwconv(low))
+        # folded-BN inference: the dilated dw + 1×1 pair fuses into one
+        # Pallas kernel (ops.pallas_sepconv) — None in training/CPU paths
+        fused = fuse_conv_pair(self.dwconv, self.low_proj, low)
+        if fused is None:
+            fused = self.low_proj(self.dwconv(low))
         high = self.high_proj(high)
-        return jax.nn.relu(low + high)
+        return jax.nn.relu(fused + high)
 
 
 class Classifier(nnx.Module):

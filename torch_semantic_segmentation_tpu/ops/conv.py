@@ -243,35 +243,6 @@ class SeparableConv(nnx.Module):
         round-trip instead of two. Returns None when not applicable
         (training/unfolded BN, stride≠1 handled by the kernel's own
         fallback, PReLU, non-3×3, CPU backend)."""
-        dw, pw = self.dw, self.pw
-        if dw.bn is not None or pw.bn is not None:
-            return None  # BN not folded: batch stats need the dw output
-        if jax.default_backend() != "tpu":
-            return None
-        if dw.act is not None or pw.act is not None:  # PReLU modules
-            return None
-        if dw._act_name not in (None, "identity", "relu"):
-            return None
-        if pw._act_name not in (None, "identity", "relu"):
-            return None
-        dwc, pwc = dw.conv, pw.conv
-        c = x.shape[-1]
-        d = dwc.kernel_dilation[0]
-        if (tuple(dwc.kernel.shape) != (3, 3, 1, c)
-                or dwc.strides != (1, 1)
-                or dwc.kernel_dilation != (d, d)
-                or dwc.padding != ((d, d), (d, d))
-                or dwc.bias is None or pwc.bias is None):
-            return None
         from torch_semantic_segmentation_tpu.ops.pallas_sepconv import (
-            fused_separable_conv)
-        return fused_separable_conv(
-            x,
-            dwc.kernel[...].reshape(3, 3, c),
-            dwc.bias[...],
-            pwc.kernel[...].reshape(c, -1).astype(x.dtype),
-            pwc.bias[...],
-            stride=1, dilation=d,
-            relu_mid=dw._act_name == "relu",
-            relu_out=pw._act_name == "relu",
-        )
+            fuse_conv_pair)
+        return fuse_conv_pair(self.dw, self.pw, x)

@@ -3,11 +3,22 @@ ReLU → pw 1×1 → affine → ReLU) for the folded-BN inference path.
 
 Depthwise-separable convs are the hot op of the real-time zoo (FastSCNN /
 ContextNet classifier & FFM stages — SURVEY.md §2.2 "Conv2D depthwise").
-They are deeply HBM-bound: a 3×3 depthwise at C channels moves ~2 bytes per
-MAC·(2/9), so the unfused chain costs four full feature-map round-trips
-(dw read, dw write, pw read, pw write). XLA does not fuse conv→conv. This
-kernel streams input row-bands HBM→VMEM once and writes only the final
-pointwise output: two round-trips instead of four (~1.8× on these layers).
+The unfused chain costs four full feature-map round-trips (dw read, dw
+write, pw read, pw write); XLA does not fuse conv→conv, so this kernel
+streams input row-bands HBM→VMEM once and writes only the final pointwise
+output — two round-trips instead of four.
+
+**Measured result (v5e, scripts/diag_sepconv_chain.py): OFF by default.**
+With the axon per-dispatch floor amortised away (20 layers chained inside
+one jit), XLA's unfused chain already runs at HBM speed-of-light
+(~800 GB/s actual traffic rate), i.e. the 4-round-trip pipeline is
+bandwidth-optimal end to end, while this kernel reaches ~170 GB/s — the
+nine `pltpu.roll` column taps (full-band sublane relayouts) and the fp32
+VPU tap loop dominate. Net: 0.43–0.50× vs XLA. The kernel is kept as
+correct, tested infrastructure (exact match vs XLA and a torch oracle);
+routing via `fuse_conv_pair` is gated behind TPU_SEG_FUSED_SEPCONV=1
+until a rewrite beats the XLA floor (candidate: column-haloed DMA with
+static slices instead of rolls, bf16 taps, larger row tiles).
 
 Kernel design (pallas_guide.md patterns: Async DMA, grid pipelines):
 - grid (N, H/TH): one program per image × output-row-band. The input stays
@@ -136,6 +147,50 @@ def _reference(x, dw_kernel, dw_bias, pw_kernel, pw_bias, *, stride, dilation,
     if relu_out:
         y = jnp.maximum(y, 0.0)
     return y.astype(x.dtype)
+
+
+def fuse_conv_pair(dw, pw, x: jax.Array) -> jax.Array | None:
+    """Route an eval-mode folded-BN (depthwise ConvBNAct, 1×1 ConvBNAct)
+    pair through the fused kernel. Returns None when not applicable
+    (not opted in — see module docstring, unfolded BN, PReLU,
+    non-3×3/strided dw, non-relu acts, CPU backend) — callers fall back
+    to `pw(dw(x))`. Used by SeparableConv and by models with an inline
+    dw→1×1 pair (FastSCNN FFM)."""
+    import os
+    if os.environ.get("TPU_SEG_FUSED_SEPCONV", "0") != "1":
+        return None  # measured slower than XLA's unfused chain; opt-in
+    if dw.bn is not None or pw.bn is not None:
+        return None  # BN not folded: batch stats need the dw output
+    if jax.default_backend() != "tpu":
+        return None
+    if dw.act is not None or pw.act is not None:  # PReLU modules
+        return None
+    if dw._act_name not in (None, "identity", "relu"):
+        return None
+    if pw._act_name not in (None, "identity", "relu"):
+        return None
+    dwc, pwc = dw.conv, pw.conv
+    c = x.shape[-1]
+    d = dwc.kernel_dilation[0]
+    if (tuple(dwc.kernel.shape) != (3, 3, 1, c)
+            or dwc.strides != (1, 1)
+            or dwc.kernel_dilation != (d, d)
+            or dwc.padding != ((d, d), (d, d))
+            or dwc.bias is None or pwc.bias is None):
+        return None
+    if (tuple(pwc.kernel.shape)[:2] != (1, 1) or pwc.strides != (1, 1)
+            or pwc.kernel.shape[2] != c):
+        return None
+    return fused_separable_conv(
+        x,
+        dwc.kernel[...].reshape(3, 3, c),
+        dwc.bias[...],
+        pwc.kernel[...].reshape(c, -1).astype(x.dtype),
+        pwc.bias[...],
+        stride=1, dilation=d,
+        relu_mid=dw._act_name == "relu",
+        relu_out=pw._act_name == "relu",
+    )
 
 
 def fused_separable_conv(x: jax.Array, dw_kernel: jax.Array,
