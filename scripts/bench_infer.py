@@ -30,12 +30,17 @@ frames = jnp.asarray(rng.integers(0, 256, (BATCH, H, W, 3), dtype=np.uint8))
 results = {}
 for name in MODELS:
     try:
-        try:    # drop aux heads in serving where the model supports it
-            model = get_model(name, num_classes=19, aux=False,
-                              dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
-        except TypeError:
-            model = get_model(name, num_classes=19, dtype=jnp.bfloat16,
-                              rngs=nnx.Rngs(0))
+        # prefer low-res logits (serving fuses the upsample into the
+        # lane-major resize_argmax) and no aux heads, where supported
+        model = None
+        for kwargs in ({"aux": False, "upsample_logits": False},
+                       {"upsample_logits": False}, {"aux": False}, {}):
+            try:
+                model = get_model(name, num_classes=19, dtype=jnp.bfloat16,
+                                  rngs=nnx.Rngs(0), **kwargs)
+                break
+            except TypeError:
+                continue
         predict = make_predict_fn(model, output="ids")
         out = predict(frames)
         _ = int(out[0, 0, 0])                  # sync: compile + first run

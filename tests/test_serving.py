@@ -80,3 +80,40 @@ def test_overfit_one_batch():
     _, miou = iou_from_confusion_matrix(cm)
     acc = float(jnp.mean((preds == labels)))
     assert acc > 0.9, (acc, miou)
+
+
+def test_resize_argmax_matches_composition():
+    import numpy as np
+    from torch_semantic_segmentation_tpu.ops import (
+        resize_argmax, resize_bilinear)
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 8, 12, 19)).astype(np.float32))
+    got = resize_argmax(logits, (32, 48))
+    want = jnp.argmax(resize_bilinear(logits, (32, 48)), axis=-1)
+    assert got.dtype == jnp.uint8
+    # fp32 path: identical up to argmax ties on exactly-equal values
+    mismatch = float(jnp.mean((got.astype(jnp.int32)
+                               != want.astype(jnp.int32)).astype(jnp.float32)))
+    assert mismatch < 1e-3, mismatch
+
+
+def test_predict_fn_low_res_logits_ids():
+    """A model built with upsample_logits=False must serve the same class
+    ids as the full-res variant (fused lane-major resize+argmax path)."""
+    import numpy as np
+    from flax import nnx
+    from torch_semantic_segmentation_tpu.models import get_model
+
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.integers(0, 256, (1, 64, 96, 3), dtype=np.uint8))
+    ids = {}
+    for flag in (True, False):
+        model = get_model("fastscnn", num_classes=7, upsample_logits=flag,
+                          rngs=nnx.Rngs(0))
+        predict = make_predict_fn(model, output="ids")
+        out = predict(frames)
+        assert out.shape == (1, 64, 96)
+        ids[flag] = np.asarray(out)
+    mismatch = (ids[True] != ids[False]).mean()
+    assert mismatch < 0.01, mismatch

@@ -18,6 +18,7 @@ from flax import nnx
 
 from torch_semantic_segmentation_tpu.metrics import update_confusion_matrix
 from torch_semantic_segmentation_tpu.ops import resize_bilinear
+from torch_semantic_segmentation_tpu.ops.upsample import resize_bilinear_nhcw
 
 
 def _main_logits(outputs):
@@ -47,19 +48,23 @@ def make_multiscale_eval_step(
     def step(params, rest, cm, images, labels):
         model = nnx.merge(graphdef_eval, params, rest)
         n, h, w, _ = images.shape
-        prob = jnp.zeros((n, h, w, num_classes), jnp.float32)
+        # probabilities accumulate in the lane-major N,H,C,W layout
+        # (ops.resize_bilinear_nhcw): with C=19 minor the full-res softmax,
+        # adds and final argmax would waste 109/128 lanes per vector op
+        prob = jnp.zeros((n, h, num_classes, w), jnp.float32)
         for s in scales:
             sh, sw = round_div(h * s), round_div(w * s)
             xs = resize_bilinear(images, (sh, sw), align_corners=align_corners)
             logits = _main_logits(model(xs))
-            logits = resize_bilinear(logits, (h, w), align_corners=align_corners)
-            prob = prob + jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            x = resize_bilinear_nhcw(logits, (h, w),
+                                     align_corners=align_corners)
+            prob = prob + jax.nn.softmax(x, axis=2)
             if flip:
                 logits_f = _main_logits(model(xs[:, :, ::-1, :]))[:, :, ::-1, :]
-                logits_f = resize_bilinear(logits_f, (h, w),
-                                           align_corners=align_corners)
-                prob = prob + jax.nn.softmax(logits_f.astype(jnp.float32), axis=-1)
-        preds = jnp.argmax(prob, axis=-1)
+                x = resize_bilinear_nhcw(logits_f, (h, w),
+                                         align_corners=align_corners)
+                prob = prob + jax.nn.softmax(x, axis=2)
+        preds = jnp.argmax(prob, axis=2)
         return update_confusion_matrix(cm, preds, labels,
                                        ignore_index=ignore_index)
 

@@ -22,6 +22,7 @@ from torch_semantic_segmentation_tpu.ops.pallas_upsample import (
     upsample2x_concat,
 )
 from torch_semantic_segmentation_tpu.ops.upsample import (
+    resize_argmax,
     resize_bilinear,
     resize_nearest,
     upsample2x_bilinear,
@@ -38,6 +39,6 @@ __all__ = [
     "PyramidPooling", "SegHead", "SeparableConv", "activation",
     "adaptive_avg_pool2d", "avg_pool2d", "global_avg_pool", "make_conv",
     "make_norm", "max_pool2d", "max_pool2x2_with_indices", "max_unpool2x2",
-    "resize_bilinear", "resize_nearest", "upsample2x_bilinear",
+    "resize_argmax", "resize_bilinear", "resize_nearest", "upsample2x_bilinear",
     "upsample2x_concat",
 ]

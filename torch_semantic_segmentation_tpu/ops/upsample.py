@@ -102,3 +102,45 @@ def upsample2x_bilinear(x: jax.Array, *, align_corners: bool = False) -> jax.Arr
     """Convenience ×2 bilinear upsample (the hot skip-connection path)."""
     n, h, w, c = x.shape
     return resize_bilinear(x, (2 * h, 2 * w), align_corners=align_corners)
+
+
+def resize_bilinear_nhcw(x: jax.Array, size: tuple[int, int], *,
+                         align_corners: bool = False) -> jax.Array:
+    """Bilinear-resize NHWC `x` to `size`, returned in N,H,C,W layout, fp32.
+
+    The lane-major tail layout (losses.resize_cross_entropy_loss): with C
+    classes (19) minor, full-res vector ops waste 109/128 lanes; 'n h c w'
+    puts W (≥1024) in the lanes. Matmuls run in x's compute dtype (bf16
+    MXU for bf16 models) with fp32 accumulation; the intermediate between
+    the W and H passes is kept in x's dtype so the full-res fp32 tensor
+    never round-trips HBM twice.
+    """
+    n, h, w, c = x.shape
+    oh, ow = size
+    if (oh, ow) == (h, w):
+        return jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
+    ww = jnp.asarray(_interp_matrix(w, ow, align_corners), x.dtype)
+    wh = jnp.asarray(_interp_matrix(h, oh, align_corners), x.dtype)
+    y = jnp.einsum("nhwc,kw->nhck", x, ww,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("nhck,oh->nock", y, wh,
+                      preferred_element_type=jnp.float32)  # (N, OH, C, OW)
+
+
+def resize_argmax(logits: jax.Array, size: tuple[int, int], *,
+                  align_corners: bool = False,
+                  out_dtype=jnp.uint8) -> jax.Array:
+    """argmax over classes of the bilinearly upsampled logits — the serving
+    tail (`serving.make_predict_fn(output="ids")`) for models built with
+    `upsample_logits=False`.
+
+    Same math as `argmax(resize_bilinear(logits, size), -1)` but in the
+    lane-major N,H,C,W layout (`resize_bilinear_nhcw`): the argmax runs as
+    C lane-parallel compares and the full-res logits never materialise in
+    NHWC.
+    """
+    oh, ow = size
+    if (oh, ow) == (logits.shape[1], logits.shape[2]):
+        return jnp.argmax(logits, axis=-1).astype(out_dtype)
+    x = resize_bilinear_nhcw(logits, size, align_corners=align_corners)
+    return jnp.argmax(x, axis=2).astype(out_dtype)

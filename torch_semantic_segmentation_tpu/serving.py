@@ -45,13 +45,26 @@ def make_predict_fn(
 
     @jax.jit
     def predict(frames: jax.Array) -> jax.Array:
+        from torch_semantic_segmentation_tpu.ops import (
+            resize_argmax, resize_bilinear)
+
         x = (frames.astype(jnp.float32) - mean_a) / std_a
         m = nnx.merge(graphdef, state)
         logits = m(x)
         if isinstance(logits, (tuple, list)):
             logits = logits[0]
+        size = (frames.shape[1], frames.shape[2])
+        low_res = (logits.shape[1], logits.shape[2]) != size
         if output == "ids":
+            # models built with upsample_logits=False emit 1/4–1/8-res
+            # logits; the ×k upsample runs fused with the argmax in a
+            # lane-major layout (ops.resize_argmax) — full-res NHWC logits
+            # never materialise
+            if low_res:
+                return resize_argmax(logits, size)
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        if low_res:
+            logits = resize_bilinear(logits, size)
         if output == "probs":
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return logits
