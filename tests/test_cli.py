@@ -75,3 +75,34 @@ def test_build_loss_variants():
 
     with pytest.raises(ValueError):
         build_loss("focal", ignore_index=255, aux_weight=0.4, class_weights=None)
+
+
+def test_train_cli_sigterm_saves_and_resumes(tmp_path):
+    """Preemption-safe save hook (SURVEY.md §5): SIGTERM mid-run forces a
+    checkpoint and a clean exit; --resume continues from that step."""
+    import signal
+    import threading
+
+    from torch_semantic_segmentation_tpu.cli.train import main
+
+    ckpt = str(tmp_path / "ck")
+    timer = threading.Timer(
+        5.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        state = main(["--dataset", "synthetic", "--model", "enet",
+                      "--batch-size", "8", "--crop-size", "32",
+                      "--max-iterations", "50", "--log-every", "1",
+                      "--checkpoint-dir", ckpt,
+                      "--checkpoint-every", "1000"])  # only the forced save
+    finally:
+        timer.cancel()
+    s0 = int(state.step)
+    assert s0 < 50, "SIGTERM did not interrupt the run"
+    assert os.path.isdir(ckpt) and os.listdir(ckpt), "no forced checkpoint"
+
+    state = main(["--dataset", "synthetic", "--model", "enet",
+                  "--batch-size", "8", "--crop-size", "32",
+                  "--max-iterations", str(s0 + 2), "--log-every", "1",
+                  "--checkpoint-dir", ckpt, "--resume"])
+    assert int(state.step) == s0 + 2

@@ -100,6 +100,21 @@ def main(argv=None):
         OptimizerConfig, create_train_state, make_train_step)
 
     args = parse_args(argv)
+
+    # Preemption-safe save hook (SURVEY.md §5 "failure detection"): TPU
+    # maintenance events / cluster preemptions deliver SIGTERM. Install the
+    # handler before the (slow) build+compile phase so an early signal is
+    # not fatal; the train loop checks the flag each step, forces a
+    # checkpoint, and exits cleanly so --resume continues from there.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_term)
+
     crop = (args.crop_size[0], args.crop_size[-1])
     bundle = build_dataset(args.dataset, args.dataset_dir, "train",
                            synthetic_size=(max(args.batch_size * 2, 8),
@@ -204,6 +219,7 @@ def main(argv=None):
     lr_schedule = optax.polynomial_schedule(
         init_value=opt_cfg.lr, end_value=0.0, power=opt_cfg.power,
         transition_steps=opt_cfg.max_steps)
+
     t0 = time.perf_counter()
     imgs_done = 0
     loss_val = float("nan")
@@ -228,7 +244,13 @@ def main(argv=None):
             t0, imgs_done = time.perf_counter(), 0
         if mgr is not None:
             mgr.save(it + 1, state, data_key=data_key,
-                     force=(it + 1 == args.max_iterations))
+                     force=(it + 1 == args.max_iterations
+                            or preempted["flag"]))
+        if preempted["flag"]:
+            print(f"SIGTERM: checkpoint saved at it {it + 1}, exiting "
+                  "(restart with --resume)")
+            break
+    signal.signal(signal.SIGTERM, prev_handler)
     if mgr is not None:
         mgr.wait()
         mgr.close()
