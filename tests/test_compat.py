@@ -296,3 +296,39 @@ def test_unet_full_model_parity():
     x = np.random.RandomState(8).randn(1, 3, 48, 64).astype(np.float32)
     got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_contextnet_full_model_parity():
+    """ContextNet (stretch tier) parity: ds-separable detail branch +
+    quarter-res MobileNetV2 context trunk (incl. expand_ratio=1 blocks) +
+    FFM fusion with equal-width branches."""
+    from tests.torch_oracles import TorchContextNet
+    from torch_semantic_segmentation_tpu.models.contextnet import contextnet
+
+    torch.manual_seed(6)
+    tmodel = TorchContextNet(num_classes=6)
+    _randomize_bn_stats(tmodel)
+    jmodel = contextnet(6)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(9).randn(1, 3, 64, 96).astype(np.float32)
+    got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_erfnet_full_model_parity():
+    """ERFNet (stretch tier) parity: ENet-style downsamplers and the
+    factorized 3×1/1×3 non-bottleneck-1d blocks with dilated second pairs,
+    deconv decoder."""
+    from tests.torch_oracles import TorchERFNet
+    from torch_semantic_segmentation_tpu.models.erfnet import erfnet
+
+    torch.manual_seed(7)
+    tmodel = TorchERFNet(num_classes=5)
+    _randomize_bn_stats(tmodel)
+    jmodel = erfnet(5)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(10).randn(1, 3, 64, 64).astype(np.float32)
+    got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

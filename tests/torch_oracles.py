@@ -243,12 +243,15 @@ class TGlobalFeatureExtractor(nn.Module):
 
 
 class TFeatureFusion(nn.Module):
-    def __init__(self, scale=4):
+    """Mirror of models.fastscnn.FeatureFusion (also used by ContextNet)."""
+
+    def __init__(self, high_ch=64, low_ch=128, out_ch=128, scale=4):
         super().__init__()
         self.scale = scale
-        self.dwconv = TConvBNAct(128, 128, 3, dilation=scale, groups=128)
-        self.low_proj = TConvBNAct(128, 128, 1, act=None, use_bias=True)
-        self.high_proj = TConvBNAct(64, 128, 1, act=None, use_bias=True)
+        self.dwconv = TConvBNAct(low_ch, out_ch, 3, dilation=scale,
+                                 groups=low_ch if low_ch == out_ch else 1)
+        self.low_proj = TConvBNAct(out_ch, out_ch, 1, act=None, use_bias=True)
+        self.high_proj = TConvBNAct(high_ch, out_ch, 1, act=None, use_bias=True)
 
     def forward(self, high, low):
         low = F.interpolate(low, high.shape[2:], mode="bilinear",
@@ -639,3 +642,150 @@ class TorchUNet(nn.Module):
         y = self.up2(y, s2)
         y = self.up1(y, s1)
         return self.head(y)
+
+
+# ---------------- ContextNet oracle (Poudel 2018) ----------------
+
+class TDetailBranch(nn.Module):
+    """Mirror of models.contextnet.DetailBranch."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv = TConvBNAct(3, 32, 3, stride=2)
+        self.ds1 = TSeparableConv(32, 64, stride=2)
+        self.ds2 = TSeparableConv(64, 128, stride=2)
+        self.ds3 = TSeparableConv(128, 128, stride=1)
+
+    def forward(self, x):
+        return self.ds3(self.ds2(self.ds1(self.conv(x))))
+
+
+class TContextBranch(nn.Module):
+    """Mirror of models.contextnet.ContextBranch (MobileNetV2-style trunk)."""
+
+    def __init__(self, out_ch=128):
+        super().__init__()
+        self.conv = TConvBNAct(3, 32, 3, stride=2)
+
+        def stage(cin, cout, n, stride, t):
+            blocks = [TInvertedResidual(cin, cout, stride=stride,
+                                        expand_ratio=t)]
+            blocks += [TInvertedResidual(cout, cout, expand_ratio=t)
+                       for _ in range(n - 1)]
+            return blocks
+
+        body = []
+        body += stage(32, 32, 1, 1, 1)
+        body += stage(32, 32, 1, 1, 6)
+        body += stage(32, 48, 3, 2, 6)
+        body += stage(48, 64, 3, 2, 6)
+        body += stage(64, 96, 2, 1, 6)
+        body += stage(96, 128, 2, 1, 6)
+        self.body = nn.ModuleList(body)
+        self.tail = TConvBNAct(128, out_ch, 3)
+
+    def forward(self, x):
+        x = self.conv(x)
+        for blk in self.body:
+            x = blk(x)
+        return self.tail(x)
+
+
+class TorchContextNet(nn.Module):
+    """ContextNet oracle, attribute-parallel to models.contextnet.ContextNet
+    (aux=False, upsample_logits=True)."""
+
+    def __init__(self, num_classes=19):
+        super().__init__()
+        self.detail = TDetailBranch()
+        self.context = TContextBranch(128)
+        self.ffm = TFeatureFusion(high_ch=128, low_ch=128, out_ch=128)
+        self.classifier = TClassifier(num_classes)
+
+    def forward(self, x):
+        h, w = x.shape[2:]
+        detail = self.detail(x)
+        x4 = F.interpolate(x, (h // 4, w // 4), mode="bilinear",
+                           align_corners=False)
+        context = self.context(x4)
+        y = self.classifier(self.ffm(detail, context))
+        return F.interpolate(y, (h, w), mode="bilinear", align_corners=False)
+
+
+# ---------------- ERFNet oracle (Romera 2017) ----------------
+
+class TDownsamplerBlock(nn.Module):
+    """Mirror of models.erfnet.DownsamplerBlock."""
+
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch - in_ch, 3, stride=2, padding=1)
+        self.bn = nn.BatchNorm2d(out_ch)
+
+    def forward(self, x):
+        y = torch.cat([self.conv(x), F.max_pool2d(x, 2)], dim=1)
+        return F.relu(self.bn(y))
+
+
+class TNonBottleneck1d(nn.Module):
+    """Mirror of models.erfnet.NonBottleneck1d (eval mode: dropout off)."""
+
+    def __init__(self, ch, dilation=1):
+        super().__init__()
+        d = dilation
+        self.conv3x1_1 = nn.Conv2d(ch, ch, (3, 1), padding=(1, 0))
+        self.conv1x3_1 = nn.Conv2d(ch, ch, (1, 3), padding=(0, 1))
+        self.bn1 = nn.BatchNorm2d(ch)
+        self.conv3x1_2 = nn.Conv2d(ch, ch, (3, 1), padding=(d, 0),
+                                   dilation=(d, 1))
+        self.conv1x3_2 = nn.Conv2d(ch, ch, (1, 3), padding=(0, d),
+                                   dilation=(1, d))
+        self.bn2 = nn.BatchNorm2d(ch)
+
+    def forward(self, x):
+        y = F.relu(self.conv3x1_1(x))
+        y = F.relu(self.bn1(self.conv1x3_1(y)))
+        y = F.relu(self.conv3x1_2(y))
+        y = self.bn2(self.conv1x3_2(y))
+        return F.relu(y + x)
+
+
+class TUpsamplerBlock(nn.Module):
+    """Mirror of models.erfnet.UpsamplerBlock."""
+
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.conv = nn.ConvTranspose2d(in_ch, out_ch, 3, stride=2, padding=1,
+                                       output_padding=1)
+        self.bn = nn.BatchNorm2d(out_ch)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class TorchERFNet(nn.Module):
+    """ERFNet oracle, attribute-parallel to models.erfnet.ERFNet."""
+
+    def __init__(self, num_classes=19, in_ch=3):
+        super().__init__()
+        enc = [TDownsamplerBlock(in_ch, 16), TDownsamplerBlock(16, 64)]
+        enc += [TNonBottleneck1d(64) for _ in range(5)]
+        enc.append(TDownsamplerBlock(64, 128))
+        for _ in range(2):
+            for d in (2, 4, 8, 16):
+                enc.append(TNonBottleneck1d(128, dilation=d))
+        self.encoder = nn.ModuleList(enc)
+        self.decoder = nn.ModuleList([
+            TUpsamplerBlock(128, 64),
+            TNonBottleneck1d(64), TNonBottleneck1d(64),
+            TUpsamplerBlock(64, 16),
+            TNonBottleneck1d(16), TNonBottleneck1d(16),
+        ])
+        self.output_conv = nn.ConvTranspose2d(16, num_classes, 2, stride=2)
+
+    def forward(self, x):
+        for blk in self.encoder:
+            x = blk(x)
+        for blk in self.decoder:
+            x = blk(x)
+        return self.output_conv(x)
