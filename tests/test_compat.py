@@ -332,3 +332,38 @@ def test_erfnet_full_model_parity():
     x = np.random.RandomState(10).randn(1, 3, 64, 64).astype(np.float32)
     got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_lednet_full_model_parity():
+    """LEDNet (stretch tier) parity: split-shuffle non-bottleneck encoder
+    (channel split/shuffle, transposed right-branch conv order) + attention
+    pyramid decoder with global-pool context branch."""
+    from tests.torch_oracles import TorchLEDNet
+    from torch_semantic_segmentation_tpu.models.lednet import lednet
+
+    torch.manual_seed(8)
+    tmodel = TorchLEDNet(num_classes=6)
+    _randomize_bn_stats(tmodel)
+    jmodel = lednet(6)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(11).randn(1, 3, 64, 64).astype(np.float32)
+    got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_esnet_full_model_parity():
+    """ESNet (stretch tier) parity: factorized conv units (K=3/5) and
+    parallel dilated FCUs with a shared stem, deconv decoder."""
+    from tests.torch_oracles import TorchESNet
+    from torch_semantic_segmentation_tpu.models.esnet import esnet
+
+    torch.manual_seed(9)
+    tmodel = TorchESNet(num_classes=5)
+    _randomize_bn_stats(tmodel)
+    jmodel = esnet(5)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(12).randn(1, 3, 64, 64).astype(np.float32)
+    got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

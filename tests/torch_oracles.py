@@ -789,3 +789,180 @@ class TorchERFNet(nn.Module):
         for blk in self.decoder:
             x = blk(x)
         return self.output_conv(x)
+
+
+# ---------------- LEDNet oracle (Wang 2019a) ----------------
+
+def t_channel_shuffle(x, groups=2):
+    n, c, h, w = x.shape
+    return (x.reshape(n, groups, c // groups, h, w)
+            .transpose(1, 2).reshape(n, c, h, w))
+
+
+class TSSnbt(nn.Module):
+    """Mirror of models.lednet.SSnbt (split-shuffle non-bottleneck)."""
+
+    def __init__(self, ch, dilation=1):
+        super().__init__()
+        half, d = ch // 2, dilation
+
+        def branch():
+            return nn.ModuleList([
+                nn.Conv2d(half, half, (3, 1), padding=(1, 0)),
+                nn.Conv2d(half, half, (1, 3), padding=(0, 1)),
+                nn.Conv2d(half, half, (3, 1), padding=(d, 0), dilation=(d, 1)),
+                nn.Conv2d(half, half, (1, 3), padding=(0, d), dilation=(1, d)),
+            ])
+
+        self.left = branch()
+        self.right = branch()
+        self.bn_left1 = nn.BatchNorm2d(half)
+        self.bn_left2 = nn.BatchNorm2d(half)
+        self.bn_right1 = nn.BatchNorm2d(half)
+        self.bn_right2 = nn.BatchNorm2d(half)
+
+    @staticmethod
+    def _run(branch, bn1, bn2, x, transposed):
+        c1, c2, c3, c4 = branch
+        order = (c2, c1, c4, c3) if transposed else (c1, c2, c3, c4)
+        y = F.relu(order[0](x))
+        y = F.relu(bn1(order[1](y)))
+        y = F.relu(order[2](y))
+        return bn2(order[3](y))
+
+    def forward(self, x):
+        half = x.shape[1] // 2
+        yl = self._run(self.left, self.bn_left1, self.bn_left2,
+                       x[:, :half], False)
+        yr = self._run(self.right, self.bn_right1, self.bn_right2,
+                       x[:, half:], True)
+        y = torch.cat([yl, yr], dim=1)
+        return t_channel_shuffle(F.relu(y + x), 2)
+
+
+class TAPN(nn.Module):
+    """Mirror of models.lednet.APN (attention pyramid decoder)."""
+
+    def __init__(self, in_ch, num_classes):
+        super().__init__()
+        self.down1 = TConvBNAct(in_ch, in_ch, 3, stride=2)
+        self.down2 = TConvBNAct(in_ch, in_ch, 5, stride=2, padding=2)
+        self.down3 = TConvBNAct(in_ch, in_ch, 7, stride=2, padding=3)
+        self.level1 = TConvBNAct(in_ch, num_classes, 1, act=None)
+        self.level2 = TConvBNAct(in_ch, num_classes, 1, act=None)
+        self.level3 = TConvBNAct(in_ch, num_classes, 1, act=None)
+        self.main = TConvBNAct(in_ch, num_classes, 1, act=None)
+        self.pool_proj = TConvBNAct(in_ch, num_classes, 1, act=None)
+
+    def forward(self, x):
+        def up(y, size):
+            return F.interpolate(y, size, mode="bilinear", align_corners=False)
+        d1 = self.down1(x)
+        d2 = self.down2(d1)
+        d3 = self.down3(d2)
+        a = up(self.level3(d3), d2.shape[2:]) + self.level2(d2)
+        a = up(a, d1.shape[2:]) + self.level1(d1)
+        a = up(a, x.shape[2:])
+        g = self.pool_proj(x.mean(dim=(2, 3), keepdim=True))
+        return self.main(x) * a + g
+
+
+class TorchLEDNet(nn.Module):
+    """LEDNet oracle, attribute-parallel to models.lednet.LEDNet
+    (upsample_logits=True)."""
+
+    def __init__(self, num_classes=19, in_ch=3):
+        super().__init__()
+        self.encoder = nn.ModuleList(
+            [TDownsamplerBlock(in_ch, 32)]
+            + [TSSnbt(32) for _ in range(3)]
+            + [TDownsamplerBlock(32, 64)]
+            + [TSSnbt(64) for _ in range(2)]
+            + [TDownsamplerBlock(64, 128)]
+            + [TSSnbt(128, dilation=d) for d in (1, 2, 5, 9, 2, 5, 9, 17)]
+        )
+        self.apn = TAPN(128, num_classes)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        for blk in self.encoder:
+            x = blk(x)
+        y = self.apn(x)
+        return F.interpolate(y, size, mode="bilinear", align_corners=False)
+
+
+# ---------------- ESNet oracle (Wang 2019b) ----------------
+
+class TFCU(nn.Module):
+    """Mirror of models.esnet.FCU."""
+
+    def __init__(self, ch, k=3):
+        super().__init__()
+        p = (k - 1) // 2
+        self.conv_a1 = nn.Conv2d(ch, ch, (k, 1), padding=(p, 0))
+        self.conv_a2 = nn.Conv2d(ch, ch, (1, k), padding=(0, p))
+        self.bn1 = nn.BatchNorm2d(ch)
+        self.conv_b1 = nn.Conv2d(ch, ch, (k, 1), padding=(p, 0))
+        self.conv_b2 = nn.Conv2d(ch, ch, (1, k), padding=(0, p))
+        self.bn2 = nn.BatchNorm2d(ch)
+
+    def forward(self, x):
+        y = F.relu(self.conv_a1(x))
+        y = F.relu(self.bn1(self.conv_a2(y)))
+        y = F.relu(self.conv_b1(y))
+        y = self.bn2(self.conv_b2(y))
+        return F.relu(y + x)
+
+
+class TPFCU(nn.Module):
+    """Mirror of models.esnet.PFCU (shared stem, 3 dilated branches)."""
+
+    def __init__(self, ch, rates=(2, 5, 9)):
+        super().__init__()
+        self.stem1 = nn.Conv2d(ch, ch, (3, 1), padding=(1, 0))
+        self.stem2 = nn.Conv2d(ch, ch, (1, 3), padding=(0, 1))
+        self.bn_stem = nn.BatchNorm2d(ch)
+        self.branch_a = nn.ModuleList([
+            nn.Conv2d(ch, ch, (3, 1), padding=(r, 0), dilation=(r, 1))
+            for r in rates])
+        self.branch_b = nn.ModuleList([
+            nn.Conv2d(ch, ch, (1, 3), padding=(0, r), dilation=(1, r))
+            for r in rates])
+        self.branch_bn = nn.ModuleList([nn.BatchNorm2d(ch) for _ in rates])
+
+    def forward(self, x):
+        y = F.relu(self.stem1(x))
+        y = F.relu(self.bn_stem(self.stem2(y)))
+        out = x
+        for ca, cb, bn in zip(self.branch_a, self.branch_b, self.branch_bn):
+            out = out + bn(cb(F.relu(ca(y))))
+        return F.relu(out)
+
+
+class TorchESNet(nn.Module):
+    """ESNet oracle, attribute-parallel to models.esnet.ESNet."""
+
+    def __init__(self, num_classes=19, in_ch=3):
+        super().__init__()
+        self.encoder = nn.ModuleList(
+            [TDownsamplerBlock(in_ch, 16)]
+            + [TFCU(16, 3) for _ in range(3)]
+            + [TDownsamplerBlock(16, 64)]
+            + [TFCU(64, 5) for _ in range(2)]
+            + [TDownsamplerBlock(64, 128)]
+            + [TPFCU(128) for _ in range(3)]
+        )
+        self.decoder = nn.ModuleList([
+            TUpsamplerBlock(128, 64),
+            TFCU(64, 5), TFCU(64, 5),
+            TUpsamplerBlock(64, 16),
+            TFCU(16, 3), TFCU(16, 3),
+        ])
+        self.output_conv = nn.ConvTranspose2d(16, num_classes, 2, stride=2)
+
+    def forward(self, x):
+        for blk in self.encoder:
+            x = blk(x)
+        for blk in self.decoder:
+            x = blk(x)
+        return self.output_conv(x)
