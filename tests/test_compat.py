@@ -367,3 +367,30 @@ def test_esnet_full_model_parity():
     x = np.random.RandomState(12).randn(1, 3, 64, 64).astype(np.float32)
     got, want = _run_jax(jmodel, x), _run_torch(tmodel, x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_deeplab_r101_os8_aux_parity():
+    """DeepLabV3-ResNet101 at output-stride 8 with the FCN aux head — the
+    reference's classic heavy config: 23-block dilated stage 3, multi-grid
+    stage 4 at rate 4·(1,2,4), doubled ASPP rates (12,24,36)."""
+    from tests.torch_oracles import TorchDeepLabV3
+    from torch_semantic_segmentation_tpu.models.deeplab import (
+        deeplabv3_resnet101)
+
+    torch.manual_seed(10)
+    tmodel = TorchDeepLabV3(num_classes=4, depth=101, output_stride=8,
+                            aux=True)
+    _randomize_bn_stats(tmodel)
+    jmodel = deeplabv3_resnet101(4, output_stride=8, aux=True)
+    import_torch_state_dict(jmodel, tmodel.state_dict())
+
+    x = np.random.RandomState(13).randn(1, 3, 64, 64).astype(np.float32)
+    jmodel.eval()
+    tmodel.eval()
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    got = [np.transpose(np.asarray(y), (0, 3, 1, 2)) for y in jmodel(xj)]
+    with torch.no_grad():
+        want = [t.numpy() for t in tmodel(torch.from_numpy(x))]
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-4)

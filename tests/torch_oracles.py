@@ -966,3 +966,41 @@ class TorchESNet(nn.Module):
         for blk in self.decoder:
             x = blk(x)
         return self.output_conv(x)
+
+
+class TSegHead(nn.Module):
+    """Mirror of ops.blocks.SegHead (3×3 conv-BN-ReLU → dropout → 1×1)."""
+
+    def __init__(self, in_ch, mid_ch, num_classes):
+        super().__init__()
+        self.conv = TConvBNAct(in_ch, mid_ch, 3)
+        self.classifier = nn.Conv2d(mid_ch, num_classes, 1)
+
+    def forward(self, x):
+        return self.classifier(self.conv(x))
+
+
+class TorchDeepLabV3(nn.Module):
+    """Generic DeepLabV3 oracle (any ResNet depth / output stride / aux),
+    attribute-parallel to models.deeplab.DeepLabV3."""
+
+    def __init__(self, num_classes=19, depth=50, output_stride=16, aux=False):
+        super().__init__()
+        self.backbone = TResNet(depth, output_stride)
+        rates = (12, 24, 36) if output_stride == 8 else (6, 12, 18)
+        self.aspp = TASPP(self.backbone.out_channels, 256, rates)
+        self.dropout = nn.Dropout(0.1)
+        self.classifier = nn.Conv2d(256, num_classes, 1)
+        self.aux = aux
+        if aux:
+            self.aux_head = TSegHead(self.backbone.stage_channels[2], 128,
+                                     num_classes)
+
+    def forward(self, x):
+        feats = self.backbone(x)
+        y = self.classifier(self.dropout(self.aspp(feats[-1])))
+        y = F.interpolate(y, x.shape[2:], mode="bilinear",
+                          align_corners=False)
+        if self.aux:
+            return y, self.aux_head(feats[2])
+        return y
