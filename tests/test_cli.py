@@ -86,19 +86,23 @@ def test_train_cli_sigterm_saves_and_resumes(tmp_path):
     from torch_semantic_segmentation_tpu.cli.train import main
 
     ckpt = str(tmp_path / "ck")
+    # outer no-op handler: if the timer fires after main() restored the
+    # previous handler (or returned), the stray signal must not kill pytest
+    outer = signal.signal(signal.SIGTERM, lambda *a: None)
     timer = threading.Timer(
         5.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
     timer.start()
     try:
         state = main(["--dataset", "synthetic", "--model", "enet",
                       "--batch-size", "8", "--crop-size", "32",
-                      "--max-iterations", "50", "--log-every", "1",
+                      "--max-iterations", "100000", "--log-every", "1",
                       "--checkpoint-dir", ckpt,
-                      "--checkpoint-every", "1000"])  # only the forced save
+                      "--checkpoint-every", "1000000"])  # only the forced save
     finally:
         timer.cancel()
+        signal.signal(signal.SIGTERM, outer)
     s0 = int(state.step)
-    assert s0 < 50, "SIGTERM did not interrupt the run"
+    assert s0 < 100000, "SIGTERM did not interrupt the run"
     assert os.path.isdir(ckpt) and os.listdir(ckpt), "no forced checkpoint"
 
     state = main(["--dataset", "synthetic", "--model", "enet",

@@ -87,6 +87,34 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    args = parse_args(argv)
+
+    # Preemption-safe save hook (SURVEY.md §5 "failure detection"): TPU
+    # maintenance events / cluster preemptions deliver SIGTERM. Install the
+    # handler before the (slow) build+compile phase so an early signal is
+    # not fatal; the train loop checks the flag each step, forces a
+    # checkpoint, and exits cleanly so --resume continues from there.
+    # Only possible from the main thread (CPython restriction) — embedded
+    # callers on worker threads just don't get the hook.
+    import signal
+    import threading
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+
+    prev_handler = None
+    if threading.current_thread() is threading.main_thread():
+        prev_handler = signal.signal(signal.SIGTERM, _on_term)
+    try:
+        return _run(args, preempted)
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
+
+
+def _run(args, preempted):
     from torch_semantic_segmentation_tpu.cli.common import (
         build_dataset, build_loss)
     from torch_semantic_segmentation_tpu.data.pipeline import (
@@ -98,22 +126,6 @@ def main(argv=None):
         batch_sharding, data_parallel_mesh, replicate)
     from torch_semantic_segmentation_tpu.train import (
         OptimizerConfig, create_train_state, make_train_step)
-
-    args = parse_args(argv)
-
-    # Preemption-safe save hook (SURVEY.md §5 "failure detection"): TPU
-    # maintenance events / cluster preemptions deliver SIGTERM. Install the
-    # handler before the (slow) build+compile phase so an early signal is
-    # not fatal; the train loop checks the flag each step, forces a
-    # checkpoint, and exits cleanly so --resume continues from there.
-    import signal
-
-    preempted = {"flag": False}
-
-    def _on_term(signum, frame):
-        preempted["flag"] = True
-
-    prev_handler = signal.signal(signal.SIGTERM, _on_term)
 
     crop = (args.crop_size[0], args.crop_size[-1])
     bundle = build_dataset(args.dataset, args.dataset_dir, "train",
@@ -242,15 +254,19 @@ def main(argv=None):
                     "train/lr": float(lr_schedule(it)),
                 })
             t0, imgs_done = time.perf_counter(), 0
+        # capture the flag BEFORE the save so a signal landing mid-save is
+        # handled next iteration rather than skipping the forced checkpoint
+        stopping = preempted["flag"]
         if mgr is not None:
             mgr.save(it + 1, state, data_key=data_key,
-                     force=(it + 1 == args.max_iterations
-                            or preempted["flag"]))
-        if preempted["flag"]:
-            print(f"SIGTERM: checkpoint saved at it {it + 1}, exiting "
-                  "(restart with --resume)")
+                     force=(it + 1 == args.max_iterations or stopping))
+        if stopping:
+            if mgr is not None:
+                print(f"SIGTERM: checkpoint saved at it {it + 1}, exiting "
+                      "(restart with --resume)")
+            else:
+                print("SIGTERM: exiting (no --checkpoint-dir, nothing saved)")
             break
-    signal.signal(signal.SIGTERM, prev_handler)
     if mgr is not None:
         mgr.wait()
         mgr.close()

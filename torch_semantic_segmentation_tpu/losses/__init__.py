@@ -167,26 +167,16 @@ def resize_cross_entropy_loss(
     emitting the resize einsums as 'n h c w' puts W (≥1024) in the lanes
     instead. Measured ~4× on the FastSCNN classifier+loss tail.
     """
-    from torch_semantic_segmentation_tpu.ops.upsample import _interp_matrix
+    from torch_semantic_segmentation_tpu.ops.upsample import (
+        resize_bilinear_nhcw)
 
-    n, h, w, c = logits.shape
+    c = logits.shape[-1]
     oh, ow = labels.shape[1], labels.shape[2]
-    if (oh, ow) != (h, w):
-        # operands stay in the model's compute dtype (bf16-native MXU mode,
-        # fp32 accumulate) — this is a loss, not the logit-parity path
-        ww = jnp.asarray(_interp_matrix(w, ow, align_corners), logits.dtype)
-        wh = jnp.asarray(_interp_matrix(h, oh, align_corners), logits.dtype)
-        # W-pass then H-pass, both with full-width lanes (k = ow); outputs
-        # cast back to the compute dtype in the matmul epilogue so the
-        # full-res intermediate never materialises in fp32 (4× HBM)
-        x = jnp.einsum("nhwc,kw->nhck", logits, ww,
-                       preferred_element_type=jnp.float32
-                       ).astype(logits.dtype)
-        x = jnp.einsum("nhck,oh->nock", x, wh,
-                       preferred_element_type=jnp.float32
-                       ).astype(logits.dtype)
-    else:
-        x = jnp.transpose(logits, (0, 1, 3, 2))
+    # operands stay in the model's compute dtype (bf16-native MXU mode,
+    # fp32 accumulate) — this is a loss, not the logit-parity path; the
+    # out_dtype cast keeps the full-res intermediate out of fp32 (4× HBM)
+    x = resize_bilinear_nhcw(logits, (oh, ow), align_corners=align_corners,
+                             out_dtype=logits.dtype)
     # x: (N, OH, C, OW); CE over axis 2, everything lane-major in OW.
     # fp32 upcasts happen inside the fused reduction epilogues.
     valid = labels != ignore_index                              # (N, OH, OW)
@@ -231,21 +221,13 @@ def resize_ohem_cross_entropy(
     `resize_cross_entropy_loss`; the hard-example threshold then reuses the
     histogram-quantile selector (full-res maps are always > 2^20 pixels).
     """
-    from torch_semantic_segmentation_tpu.ops.upsample import _interp_matrix
+    from torch_semantic_segmentation_tpu.ops.upsample import (
+        resize_bilinear_nhcw)
 
-    n, h, w, c = logits.shape
+    c = logits.shape[-1]
     oh, ow = labels.shape[1], labels.shape[2]
-    if (oh, ow) != (h, w):
-        ww = jnp.asarray(_interp_matrix(w, ow, align_corners), logits.dtype)
-        wh = jnp.asarray(_interp_matrix(h, oh, align_corners), logits.dtype)
-        x = jnp.einsum("nhwc,kw->nhck", logits, ww,
-                       preferred_element_type=jnp.float32
-                       ).astype(logits.dtype)
-        x = jnp.einsum("nhck,oh->nock", x, wh,
-                       preferred_element_type=jnp.float32
-                       ).astype(logits.dtype)
-    else:
-        x = jnp.transpose(logits, (0, 1, 3, 2))
+    x = resize_bilinear_nhcw(logits, (oh, ow), align_corners=align_corners,
+                             out_dtype=logits.dtype)
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     xf = x.astype(jnp.float32)

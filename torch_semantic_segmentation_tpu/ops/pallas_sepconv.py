@@ -57,8 +57,12 @@ def _pick_tile(h: int, w: int, c: int, co: int, d: int,
                budget_bytes: int = 3 * 1024 * 1024) -> int | None:
     """Largest divisor TH of h whose fp32 working set fits the VMEM budget
     (scratch band + one fp32 temp + output block; Mosaic double-buffers the
-    output block). None → caller falls back to the XLA path."""
-    for th in sorted((x for x in range(1, h + 1) if h % x == 0), reverse=True):
+    output block). None → caller falls back to the XLA path.
+
+    TH must be ≥ d: the kernel's clamped halo DMAs only zero-fix the first
+    and last band, so a band whose d-row halo reaches beyond its immediate
+    neighbours (th < d) would read silently wrong rows."""
+    for th in sorted((x for x in range(d, h + 1) if h % x == 0), reverse=True):
         band = (th + 2 * d) * w * c * 4
         work = th * w * max(c, co) * 4 * 2
         if band + work <= budget_bytes:
@@ -208,20 +212,19 @@ def fused_separable_conv(x: jax.Array, dw_kernel: jax.Array,
     """
     n, h, w, c = x.shape
     co = pw_kernel.shape[-1]
+    interpret = jax.default_backend() != "tpu"
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    interpret_ok = jax.default_backend() != "tpu"
+        use_pallas = not interpret
     # Mosaic cannot DMA HBM row-band slices whose channel (lane) dim is not
     # a whole number of 128-lane tiles — gate the compiled path on C%128
     # (measured: C=64 fails tpu_compile, C=128 matches exactly).
-    if not interpret_ok and c % 128 != 0:
+    if not interpret and c % 128 != 0:
         use_pallas = False
     th = _pick_tile(h, w, c, co, dilation) if stride == 1 else None
     if not use_pallas or th is None or dilation * 1 >= h:
         return _reference(x, dw_kernel, dw_bias, pw_kernel, pw_bias,
                           stride=stride, dilation=dilation,
                           relu_mid=relu_mid, relu_out=relu_out)
-    interpret = jax.default_backend() != "tpu"
     kern = functools.partial(_kernel, th=th, d=dilation, h=h,
                              relu_mid=relu_mid, relu_out=relu_out)
     return pl.pallas_call(

@@ -105,26 +105,37 @@ def upsample2x_bilinear(x: jax.Array, *, align_corners: bool = False) -> jax.Arr
 
 
 def resize_bilinear_nhcw(x: jax.Array, size: tuple[int, int], *,
-                         align_corners: bool = False) -> jax.Array:
-    """Bilinear-resize NHWC `x` to `size`, returned in N,H,C,W layout, fp32.
+                         align_corners: bool = False,
+                         out_dtype=None) -> jax.Array:
+    """Bilinear-resize NHWC `x` to `size`, returned in N,H,C,W layout —
+    fp32 by default; pass `out_dtype` (e.g. the compute dtype, as the
+    fused resize-losses do) to cast in the matmul epilogue so the full-res
+    intermediate never materialises in fp32 (4× HBM).
 
-    The lane-major tail layout (losses.resize_cross_entropy_loss): with C
-    classes (19) minor, full-res vector ops waste 109/128 lanes; 'n h c w'
-    puts W (≥1024) in the lanes. Matmuls run in x's compute dtype (bf16
-    MXU for bf16 models) with fp32 accumulation; the intermediate between
-    the W and H passes is kept in x's dtype so the full-res fp32 tensor
-    never round-trips HBM twice.
+    The lane-major tail layout (used by losses.resize_cross_entropy_loss,
+    the multi-scale evaluator and ops.resize_argmax): with C classes (19)
+    minor, full-res vector ops waste 109/128 lanes; 'n h c w' puts W
+    (≥1024) in the lanes. Matmuls run in x's compute dtype (bf16 MXU for
+    bf16 models) with fp32 accumulation; the intermediate between the W
+    and H passes is kept in x's dtype so the full-res fp32 tensor never
+    round-trips HBM twice. fp32 inputs use HIGHEST MXU precision so the
+    result matches `resize_bilinear` (the TPU MXU otherwise rounds fp32
+    operands to bf16, ~1e-2 rel err).
     """
     n, h, w, c = x.shape
     oh, ow = size
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
     if (oh, ow) == (h, w):
-        return jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
+        return jnp.transpose(x, (0, 1, 3, 2)).astype(out_dtype)
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     ww = jnp.asarray(_interp_matrix(w, ow, align_corners), x.dtype)
     wh = jnp.asarray(_interp_matrix(h, oh, align_corners), x.dtype)
-    y = jnp.einsum("nhwc,kw->nhck", x, ww,
+    y = jnp.einsum("nhwc,kw->nhck", x, ww, precision=prec,
                    preferred_element_type=jnp.float32).astype(x.dtype)
-    return jnp.einsum("nhck,oh->nock", y, wh,
-                      preferred_element_type=jnp.float32)  # (N, OH, C, OW)
+    return jnp.einsum("nhck,oh->nock", y, wh, precision=prec,
+                      preferred_element_type=jnp.float32
+                      ).astype(out_dtype)           # (N, OH, C, OW)
 
 
 def resize_argmax(logits: jax.Array, size: tuple[int, int], *,

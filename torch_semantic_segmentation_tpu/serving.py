@@ -42,6 +42,9 @@ def make_predict_fn(
     graphdef, state = nnx.split(model)
     mean_a = jnp.asarray(mean, jnp.float32) * 255.0
     std_a = jnp.asarray(std, jnp.float32) * 255.0
+    # low-res-logit models upsample in the predictor; honour the model's
+    # own resize convention so ids match its upsample_logits=True twin
+    align_corners = bool(getattr(model, "align_corners", False))
 
     @jax.jit
     def predict(frames: jax.Array) -> jax.Array:
@@ -61,10 +64,10 @@ def make_predict_fn(
             # lane-major layout (ops.resize_argmax) — full-res NHWC logits
             # never materialise
             if low_res:
-                return resize_argmax(logits, size)
+                return resize_argmax(logits, size, align_corners=align_corners)
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
         if low_res:
-            logits = resize_bilinear(logits, size)
+            logits = resize_bilinear(logits, size, align_corners=align_corners)
         if output == "probs":
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return logits
