@@ -117,3 +117,23 @@ def test_predict_fn_low_res_logits_ids():
         ids[flag] = np.asarray(out)
     mismatch = (ids[True] != ids[False]).mean()
     assert mismatch < 0.01, mismatch
+
+
+def test_predict_fn_low_res_probs_match_full_res():
+    """output='probs' on a low-res-logit model resizes logits before the
+    softmax and must match the upsample_logits=True twin."""
+    import numpy as np
+    from flax import nnx
+    from torch_semantic_segmentation_tpu.models import get_model
+
+    rng = np.random.default_rng(2)
+    frames = jnp.asarray(rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8))
+    probs = {}
+    for flag in (True, False):
+        model = get_model("contextnet", num_classes=5, upsample_logits=flag,
+                          rngs=nnx.Rngs(0))
+        out = make_predict_fn(model, output="probs")(frames)
+        assert out.shape == (1, 64, 64, 5)
+        probs[flag] = np.asarray(out)
+    np.testing.assert_allclose(probs[True], probs[False], rtol=1e-4,
+                               atol=1e-5)
