@@ -12,13 +12,18 @@ output — two round-trips instead of four.
 With the axon per-dispatch floor amortised away (20 layers chained inside
 one jit), XLA's unfused chain already runs at HBM speed-of-light
 (~800 GB/s actual traffic rate), i.e. the 4-round-trip pipeline is
-bandwidth-optimal end to end, while this kernel reaches ~170 GB/s — the
-nine `pltpu.roll` column taps (full-band sublane relayouts) and the fp32
-VPU tap loop dominate. Net: 0.43–0.50× vs XLA. The kernel is kept as
+bandwidth-optimal end to end, while this kernel reaches ~170 GB/s. Net:
+0.43–0.50× vs XLA. Ablation (scripts/diag_sepconv_parts.py) pins the
+bottleneck: a DMA-only variant already runs at ~120 GB/s — the
+serialized per-program copy pattern (start → wait → compute, no overlap
+with the previous band's compute) caps the kernel; the rolls and the pw
+matmul are NOT the problem (noroll ≈ full). The kernel is kept as
 correct, tested infrastructure (exact match vs XLA and a torch oracle);
-routing via `fuse_conv_pair` is gated behind TPU_SEG_FUSED_SEPCONV=1
-until a rewrite beats the XLA floor (candidate: column-haloed DMA with
-static slices instead of rolls, bf16 taps, larger row tiles).
+routing via `fuse_conv_pair` is gated behind TPU_SEG_FUSED_SEPCONV=1.
+Rewrite plan: cross-program double buffering (the pallas_guide pattern —
+scratch persists across grid steps on a core, so program i starts the
+DMA for band i+1 before computing band i), which should stream at HBM
+rate and make the 2-vs-4-round-trip fusion win real.
 
 Kernel design (pallas_guide.md patterns: Async DMA, grid pipelines):
 - grid (N, H/TH): one program per image × output-row-band. The input stays
