@@ -20,10 +20,14 @@ with the previous band's compute) caps the kernel; the rolls and the pw
 matmul are NOT the problem (noroll ≈ full). The kernel is kept as
 correct, tested infrastructure (exact match vs XLA and a torch oracle);
 routing via `fuse_conv_pair` is gated behind TPU_SEG_FUSED_SEPCONV=1.
-Rewrite plan: cross-program double buffering (the pallas_guide pattern —
-scratch persists across grid steps on a core, so program i starts the
-DMA for band i+1 before computing band i), which should stream at HBM
-rate and make the 2-vs-4-round-trip fusion win real.
+Rewrite attempts measured (same probe script): cross-program double
+buffering (program i starts band i+1's DMA before computing band i —
+verified exact) lifts it only to ~130 GB/s, larger row tiles change
+nothing, and even a bare Mosaic BlockSpec-pipelined copy kernel caps at
+~97 GB/s at these block shapes — the row-band streaming model itself
+underperforms XLA's conv emitters on this platform, independent of the
+kernel body. Conclusion: keep the XLA path as the default for this op
+class; revisit only if Mosaic's HBM pipeline throughput improves.
 
 Kernel design (pallas_guide.md patterns: Async DMA, grid pipelines):
 - grid (N, H/TH): one program per image × output-row-band. The input stays
