@@ -59,3 +59,31 @@ def test_absent_class_is_nan_not_zero():
     iou, miou = iou_from_confusion_matrix(cm)
     assert np.isnan(iou[1]) and np.isnan(iou[2])
     assert miou == 1.0  # nan-mean over supported classes
+
+
+def test_eval_step_low_res_logits_matches_full_res():
+    """make_eval_step must evaluate upsample_logits=False models via the
+    fused lane-major resize+argmax, matching the full-res twin's confusion
+    matrix."""
+    import numpy as np
+    from flax import nnx
+    from torch_semantic_segmentation_tpu.models import get_model
+    from torch_semantic_segmentation_tpu.train import (
+        create_train_state, make_eval_step, OptimizerConfig)
+    from torch_semantic_segmentation_tpu.metrics import new_confusion_matrix
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    lbls = jnp.asarray(rng.integers(0, 5, (1, 64, 64), dtype=np.int32))
+    tx = OptimizerConfig(max_steps=5).make()
+    cms = {}
+    for flag in (True, False):
+        model = get_model("fastscnn", num_classes=5, upsample_logits=flag,
+                          rngs=nnx.Rngs(0))
+        _, gde, state = create_train_state(model, tx)
+        ev = make_eval_step(gde, num_classes=5)
+        cms[flag] = np.asarray(ev(state.params, state.rest,
+                                  new_confusion_matrix(5), imgs, lbls))
+    assert cms[True].sum() == cms[False].sum() == 64 * 64
+    # identical up to argmax ties at class-boundary pixels
+    assert np.abs(cms[True] - cms[False]).sum() <= 2

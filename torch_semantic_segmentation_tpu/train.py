@@ -155,11 +155,20 @@ def make_eval_step(graphdef_eval: nnx.GraphDef, *, num_classes: int,
     from torch_semantic_segmentation_tpu.metrics import update_confusion_matrix
 
     def step(params, rest, cm, images, labels):
+        from torch_semantic_segmentation_tpu.ops import resize_argmax
+
         model = nnx.merge(graphdef_eval, params, rest)
         logits = model(images)
         if isinstance(logits, (tuple, list)):
             logits = logits[0]
-        preds = jnp.argmax(logits, axis=-1)
+        if logits.shape[1:3] != labels.shape[1:3]:
+            # upsample_logits=False model: fused lane-major upsample+argmax
+            preds = resize_argmax(
+                logits, (labels.shape[1], labels.shape[2]),
+                align_corners=bool(getattr(model, "align_corners", False)),
+                out_dtype=jnp.int32)
+        else:
+            preds = jnp.argmax(logits, axis=-1)
         return update_confusion_matrix(cm, preds, labels,
                                        ignore_index=ignore_index)
 
