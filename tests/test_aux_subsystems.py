@@ -103,3 +103,34 @@ def test_mapillary_dataset_layout(tmp_path):
     assert lut[4] == 255 and lut[2] == 2       # void -> ignore, eval id kept
     img, lbl = ds[0]
     assert img.shape == (16, 24, 3)
+
+
+def test_mapillary_palette_png_roundtrip(tmp_path):
+    """Regression (ADVICE r1 high): Vistas masks are palette-indexed PNGs —
+    the palette INDEX is the label id. Reading them through a
+    grayscale-decode path collapses palette colors to luma and corrupts the
+    ids; the loader must return the raw indices."""
+    from PIL import Image
+    from torch_semantic_segmentation_tpu.data.mapillary import MapillaryDataset
+
+    labels = [{"readable": f"class {i}", "evaluate": True} for i in range(8)]
+    (tmp_path / "config.json").write_text(json.dumps({"labels": labels}))
+    img_dir = tmp_path / "training" / "images"
+    lbl_dir = tmp_path / "training" / "labels"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    import cv2
+    cv2.imwrite(str(img_dir / "x.jpg"),
+                np.random.randint(0, 255, (16, 24, 3), np.uint8))
+    ids = np.random.default_rng(0).integers(0, 8, (16, 24)).astype(np.uint8)
+    pal_img = Image.fromarray(ids, mode="P")
+    # palette whose colors do NOT equal their index (the corrupting case)
+    palette = []
+    for i in range(256):
+        palette += [(i * 37) % 256, (i * 91 + 50) % 256, (i * 13 + 200) % 256]
+    pal_img.putpalette(palette)
+    pal_img.save(str(lbl_dir / "x.png"))
+
+    ds = MapillaryDataset(str(tmp_path), "train")
+    _, lbl = ds[0]
+    np.testing.assert_array_equal(lbl, ids)

@@ -25,6 +25,30 @@ def test_train_cli_synthetic_smoke(tmp_path):
     assert int(state.step) == 5
 
 
+def test_train_then_eval_cli_checkpoint(tmp_path):
+    """Regression (ADVICE r1 high): eval --checkpoint on a dir written by the
+    train CLI must restore even though eval never reconstructs training's
+    exact optax chain (SGD+decay saves a 3-element chain state)."""
+    from torch_semantic_segmentation_tpu.cli.eval import main as eval_main
+    from torch_semantic_segmentation_tpu.cli.train import main as train_main
+
+    ckpt = str(tmp_path / "ck")
+    train_main(["--dataset", "synthetic", "--model", "enet",
+                "--batch-size", "8", "--crop-size", "32",
+                "--max-iterations", "2", "--log-every", "1",
+                "--checkpoint-dir", ckpt, "--checkpoint-every", "1"])
+    iou, miou = eval_main(["--dataset", "synthetic", "--model", "enet",
+                           "--batch-size", "2", "--max-batches", "1",
+                           "--checkpoint", ckpt])
+    assert np.isfinite(miou)
+
+    # wrong-model template must be rejected loudly, not mis-restored
+    with pytest.raises(ValueError, match="wrong model"):
+        eval_main(["--dataset", "synthetic", "--model", "fastscnn",
+                   "--batch-size", "2", "--max-batches", "1",
+                   "--checkpoint", ckpt])
+
+
 def test_eval_cli_synthetic_smoke():
     from torch_semantic_segmentation_tpu.cli.eval import main
     iou, miou = main(["--dataset", "synthetic", "--model", "enet",

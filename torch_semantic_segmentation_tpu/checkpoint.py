@@ -70,6 +70,45 @@ class CheckpointManager:
                    if data_key is not None else None)
         return new_state, new_key, step
 
+    def restore_params_rest(self, params, rest
+                            ) -> tuple[tp.Any, tp.Any, int] | None:
+        """Restore only (params, rest) from the newest checkpoint, ignoring
+        the on-disk optimizer state.
+
+        Evaluation must not need to reconstruct the training run's exact
+        optax chain (SGD-with-decay saves a 3-element chain state; a naive
+        sgd template has 2 — orbax StandardRestore refuses the structure
+        mismatch). We restore the saved 'state' item template-free (orbax
+        rebuilds it from its own metadata) and refit the params/rest
+        subtrees onto the caller's nnx.State templates, checking per-leaf
+        shapes so a silently reordered tree cannot slip through.
+        """
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        raw = self._mgr.restore(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore()))["state"]
+
+        def refit(template, raw_tree, name):
+            treedef = jax.tree.structure(template)
+            leaves = jax.tree.leaves(raw_tree)
+            t_leaves = jax.tree.leaves(template)
+            if len(leaves) != len(t_leaves):
+                raise ValueError(
+                    f"checkpoint '{name}' has {len(leaves)} leaves, "
+                    f"template has {len(t_leaves)} — wrong model?")
+            for i, (a, b) in enumerate(zip(leaves, t_leaves)):
+                if getattr(a, "shape", None) != getattr(b, "shape", None):
+                    raise ValueError(
+                        f"checkpoint '{name}' leaf {i} shape "
+                        f"{getattr(a, 'shape', None)} != template "
+                        f"{getattr(b, 'shape', None)} — wrong model?")
+            return jax.tree.unflatten(treedef, leaves)
+
+        return (refit(params, raw["params"], "params"),
+                refit(rest, raw["rest"], "rest"), step)
+
     def wait(self):
         """Block until queued async saves are durable (call before exit)."""
         self._mgr.wait_until_finished()

@@ -66,20 +66,15 @@ def main(argv=None):
     _, gd_eval, params, rest = split_train_eval(model)
 
     if args.checkpoint and not args.checkpoint.endswith((".pth", ".pt")):
-        import optax
         from torch_semantic_segmentation_tpu.checkpoint import CheckpointManager
-        from torch_semantic_segmentation_tpu.train import TrainState
-        template = TrainState(params=params, rest=rest,
-                              opt_state=optax.sgd(0.1).init(params),
-                              step=jnp.zeros((), jnp.int32))
-        # tolerate optimizer-state mismatch: we only need params/rest
+        # optimizer-state agnostic: eval never reconstructs the training
+        # run's optax chain (see CheckpointManager.restore_params_rest)
         mgr = CheckpointManager(args.checkpoint)
-        restored = mgr.restore_latest(template)
+        restored = mgr.restore_params_rest(params, rest)
         if restored is None:
             raise FileNotFoundError(
                 f"no checkpoint found in {args.checkpoint}")
-        st, _, step = restored
-        params, rest = st.params, st.rest
+        params, rest, step = restored
         print(f"restored step-{step} checkpoint from {args.checkpoint}")
 
     if args.multi_scale:

@@ -78,5 +78,12 @@ class MapillaryDataset:
         import cv2
         img = cv2.cvtColor(cv2.imread(self.image_paths[i], cv2.IMREAD_COLOR),
                            cv2.COLOR_BGR2RGB)
-        lbl = cv2.imread(self.label_paths[i], cv2.IMREAD_GRAYSCALE)
-        return img, lbl
+        # Masks are palette-indexed PNGs where the palette INDEX is the label
+        # id. cv2.IMREAD_GRAYSCALE would expand the palette to RGB and take
+        # luma, destroying the ids — PIL keeps mode-'P' palette indices raw
+        # (matching the native C++ decoder's png_set_packing path).
+        from PIL import Image
+        lbl = np.asarray(Image.open(self.label_paths[i]))
+        if lbl.ndim == 3:          # non-palette RGB(A) mask: collapse to ids
+            lbl = lbl[..., 0]
+        return img, lbl.astype(np.uint8, copy=False)
