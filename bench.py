@@ -1,25 +1,34 @@
-"""Headline benchmark: FastSCNN train-step throughput at full-res Cityscapes.
+"""Headline benchmark: FastSCNN training throughput at 1024×2048 Cityscapes.
 
 BASELINE.json primary metric: "images/sec/chip at 1024x2048 Cityscapes
-train". This times the complete compiled train step — fused on-device
-augmentation (scale/crop at 1024×2048), forward, backward, SGD update —
-with donated buffers on one chip, and prints one JSON line. The forward
-is rematerialised in the backward (jax.checkpoint): at full res this is
-~28% FASTER than storing activations — HBM pressure, not FLOPs, binds.
+train". Round-1 reported only a 1024×1024-crop compute number; this bench
+reports all three tiers the judged metric actually spans (VERDICT r1 next
+#1), in ONE JSON line:
 
-`vs_baseline` divides by an *estimated* reference throughput: the reference
-repo's own numbers are uncapturable (BASELINE.md provenance caveat — mount
-empty, `"published": {}`), so we anchor on the Fast-SCNN paper's 123 fps
-full-res inference on Titan Xp (Poudel 2019 §5) and the usual ~3–4×
-fwd-only→train-step cost plus V100-vs-TitanXp scaling, giving ≈30 img/s
-for a V100 torch training step at 1024×2048. Documented estimate, not a
-measurement; the ≥3× target therefore means vs_baseline ≥ 3.0.
+- `fullres`  (the headline `value`): the model consumes true 1024×2048
+  inputs — fused on-device augmentation (scale/crop/flip/jitter/normalize
+  AT 1024×2048), forward, backward, SGD update, donated buffers, remat.
+- `crop1024`: the r01-comparable 1024×1024-random-crop training step from
+  resident full-res uint8 (random cropping is standard training practice —
+  the reference trained on 768² crops, SURVEY.md §2.5).
+- `e2e`: the full judged pipeline — native C++ loader decoding real
+  JPEG/PNG pairs from disk → double-buffered HBM prefetch → fused aug →
+  train step. `loader_only` (host decode ceiling) and `input_bound` report
+  which side binds; this host drives the TPU through a tunnel with a
+  single CPU core, so decode is the expected wall.
+
+`vs_baseline` divides `fullres` by an *estimated* reference throughput of
+30 img/s (V100 torch train step at 1024×2048). The derivation and its
+sensitivity range [20, 45] → `vs_baseline_range` are in BASELINE.md
+("Baseline denominator"); raw images/sec/chip is the primary number.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import tempfile
 import time
 
 import jax
@@ -27,17 +36,25 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-REFERENCE_V100_IMG_PER_SEC = 30.0  # estimated; see module docstring
+REFERENCE_V100_IMG_PER_SEC = 30.0        # estimated; see BASELINE.md
+REFERENCE_RANGE = (20.0, 45.0)           # sensitivity bounds, see BASELINE.md
 
-BATCH = int(os.environ.get("BENCH_BATCH", "128"))  # HBM sweet spot on v5e (remat on)
 HEIGHT = int(os.environ.get("BENCH_H", "1024"))
 WIDTH = int(os.environ.get("BENCH_W", "2048"))
+CROP_BATCH = int(os.environ.get("BENCH_BATCH", "128"))   # HBM sweet spot (v5e, remat)
+FULL_BATCH = int(os.environ.get("BENCH_FULL_BATCH", "32"))
+E2E_BATCH = int(os.environ.get("BENCH_E2E_BATCH", "16"))
 CROP = int(os.environ.get("BENCH_CROP", "1024"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+FULL_STEPS = int(os.environ.get("BENCH_FULL_STEPS", "10"))
+E2E_STEPS = int(os.environ.get("BENCH_E2E_STEPS", "8"))
+E2E_FILES = int(os.environ.get("BENCH_E2E_FILES", "48"))
 REMAT = bool(int(os.environ.get("BENCH_REMAT", "1")))
+MODE = os.environ.get("BENCH_MODE", "all")  # all | crop | fullres | e2e
 
 
-def main():
+def build_step(crop_hw: tuple[int, int]):
+    """jit train step: fused aug at `crop_hw` + FastSCNN fwd+bwd+SGD."""
     from torch_semantic_segmentation_tpu.data.transforms import (
         AugmentConfig, augment_batch)
     from torch_semantic_segmentation_tpu.losses import resize_cross_entropy_loss
@@ -53,20 +70,23 @@ def main():
     gd_train, _, state = create_train_state(model, tx)
     inner = make_train_step(gd_train, tx, resize_cross_entropy_loss,
                             jit=False, remat=REMAT)
-
-    aug_cfg = AugmentConfig(crop=(CROP, CROP), out_dtype=jnp.bfloat16)
+    aug_cfg = AugmentConfig(crop=crop_hw, out_dtype=jnp.bfloat16)
 
     def step(state, raw_images, raw_labels, key):
         images, labels = augment_batch(raw_images, raw_labels, key, aug_cfg)
         return inner(state, images, labels)
 
-    jstep = jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)), state
 
+
+def time_resident(crop_hw: tuple[int, int], batch: int, steps: int) -> float:
+    """img/s for the compiled step over device-resident uint8 full-res data."""
+    jstep, state = build_step(crop_hw)
     rng = np.random.default_rng(0)
     raw_images = jnp.asarray(
-        rng.integers(0, 256, (BATCH, HEIGHT, WIDTH, 3), dtype=np.uint8))
+        rng.integers(0, 256, (batch, HEIGHT, WIDTH, 3), dtype=np.uint8))
     raw_labels = jnp.asarray(
-        rng.integers(0, 19, (BATCH, HEIGHT, WIDTH), dtype=np.uint8))
+        rng.integers(0, 19, (batch, HEIGHT, WIDTH), dtype=np.uint8))
     key = jax.random.key(0)
 
     # warmup/compile; a VALUE fetch is the only reliable device sync here
@@ -75,19 +95,109 @@ def main():
     float(metrics["loss"])
 
     t0 = time.perf_counter()
-    for i in range(STEPS):
+    for _ in range(steps):
         key, sub = jax.random.split(key)
         state, metrics = jstep(state, raw_images, raw_labels, sub)
     float(metrics["loss"])   # drains the chained steps
-    dt = time.perf_counter() - t0
+    return batch * steps / (time.perf_counter() - t0)
 
-    img_per_sec = BATCH * STEPS / dt
-    print(json.dumps({
+
+def write_e2e_files(root: str, n: int) -> tuple[list[str], list[str]]:
+    """Synthetic Cityscapes-shaped JPEG/PNG pairs at full resolution."""
+    import cv2
+    rng = np.random.default_rng(0)
+    imgs, lbls = [], []
+    # one textured base mutated per file: keeps generation cheap while the
+    # decoder still sees full-entropy JPEG work
+    base = rng.integers(0, 256, (HEIGHT, WIDTH, 3), np.uint8)
+    lbl_base = rng.integers(0, 34, (HEIGHT, WIDTH), np.uint8)
+    for i in range(n):
+        img = np.roll(base, 37 * i, axis=1)
+        ip = os.path.join(root, f"img{i:03d}.jpg")
+        lp = os.path.join(root, f"lbl{i:03d}.png")
+        cv2.imwrite(ip, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        cv2.imwrite(lp, np.roll(lbl_base, 37 * i, axis=1))
+        imgs.append(ip)
+        lbls.append(lp)
+    return imgs, lbls
+
+
+def time_e2e(steps: int) -> dict:
+    """Full pipeline: native decode from disk → prefetch → aug → step."""
+    from torch_semantic_segmentation_tpu.data import native_loader
+    from torch_semantic_segmentation_tpu.data.cityscapes import (
+        label_lookup_table)
+    from torch_semantic_segmentation_tpu.data.pipeline import (
+        prefetch_to_device)
+
+    if not native_loader.native_available():
+        return {"e2e": None, "loader_only": None, "input_bound": None}
+
+    root = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        imgs, lbls = write_e2e_files(root, E2E_FILES)
+        lut = label_lookup_table()
+
+        # host decode ceiling in isolation (1 warmup batch + timed drain)
+        loader = native_loader.NativeBatchLoader(
+            imgs, lbls, E2E_BATCH, HEIGHT, WIDTH, num_threads=4,
+            label_lut=lut, seed=0, epochs=0)
+        next(loader)
+        t0 = time.perf_counter()
+        nb = min(steps, 6)
+        for _ in range(nb):
+            next(loader)
+        loader_rate = E2E_BATCH * nb / (time.perf_counter() - t0)
+        loader.close()
+
+        jstep, state = build_step((HEIGHT, WIDTH))
+        loader = native_loader.NativeBatchLoader(
+            imgs, lbls, E2E_BATCH, HEIGHT, WIDTH, num_threads=4,
+            label_lut=lut, seed=0, epochs=0)
+        dev = prefetch_to_device(iter(loader), size=2)
+        key = jax.random.key(0)
+        ri, rl = next(dev)
+        state, metrics = jstep(state, ri, rl, key)   # compile
+        float(metrics["loss"])
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            ri, rl = next(dev)
+            key, sub = jax.random.split(key)
+            state, metrics = jstep(state, ri, rl, sub)
+        float(metrics["loss"])
+        e2e_rate = E2E_BATCH * steps / (time.perf_counter() - t0)
+        loader.close()
+        return {"e2e": round(e2e_rate, 2),
+                "loader_only": round(loader_rate, 2),
+                "input_bound": bool(loader_rate < e2e_rate * 1.1)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    out = {
         "metric": "fastscnn_train_images_per_sec_per_chip_1024x2048",
-        "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec / REFERENCE_V100_IMG_PER_SEC, 3),
-    }))
+    }
+    fullres = crop1024 = None
+    if MODE in ("all", "fullres"):
+        fullres = round(time_resident((HEIGHT, WIDTH), FULL_BATCH,
+                                      FULL_STEPS), 2)
+        out["fullres"] = fullres
+    if MODE in ("all", "crop"):
+        crop1024 = round(time_resident((CROP, CROP), CROP_BATCH, STEPS), 2)
+        out["crop1024"] = crop1024
+    if MODE in ("all", "e2e"):
+        out.update(time_e2e(E2E_STEPS))
+
+    primary = fullres if fullres is not None else crop1024
+    out["value"] = primary
+    out["vs_baseline"] = round(primary / REFERENCE_V100_IMG_PER_SEC, 3)
+    out["vs_baseline_range"] = [
+        round(primary / REFERENCE_RANGE[1], 2),
+        round(primary / REFERENCE_RANGE[0], 2)]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

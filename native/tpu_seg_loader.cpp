@@ -32,8 +32,10 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <random>
+#include <utility>
 #include <string>
 #include <thread>
 #include <vector>
@@ -202,29 +204,54 @@ void resize_nearest_u8(const Image& src, uint8_t* dst, int oh, int ow) {
 struct Loader {
   std::vector<std::string> img_paths, lbl_paths;
   int batch, h, w, prefetch;
-  bool shuffle, loop;
+  bool shuffle;
   uint8_t lut[256];
   bool has_lut = false;
-  std::mt19937_64 rng;
+  uint64_t seed = 0;
 
   // ring of ready batches
   struct Slot {
     std::vector<uint8_t> img;  // batch*h*w*3
     std::vector<uint8_t> lbl;  // batch*h*w
+    size_t seq = 0;            // batch sequence number held by this slot
   };
   std::vector<Slot> ring;
   std::vector<int> slot_state;  // 0 free, 1 filling, 2 ready
-  size_t head = 0, tail = 0;    // batch sequence numbers
-  size_t total_batches = 0;     // produced so far (monotonic)
+  size_t head = 0;              // next seq the consumer will take
+  size_t total_batches = 0;     // next seq a producer will claim
   size_t max_batches = 0;       // 0 = infinite (loop)
+  size_t batches_per_epoch = 0;
   std::atomic<bool> stop{false};
   std::string error;
 
   std::mutex mu;
   std::condition_variable cv_ready, cv_free;
   std::vector<std::thread> workers;
-  std::vector<size_t> order;    // shuffled sample indices, regenerated per epoch
-  size_t epoch_len = 0;
+
+  // Per-epoch shuffled orders, seeded by (seed, epoch) so any stream
+  // position is reconstructable from the sequence number alone (resume) and
+  // each epoch reshuffles like torch's DataLoader. Workers near an epoch
+  // boundary may fill batches from two epochs concurrently, so a small
+  // shared_ptr cache keeps both alive.
+  std::mutex order_mu;
+  std::vector<std::pair<size_t, std::shared_ptr<const std::vector<size_t>>>>
+      order_cache;
+
+  std::shared_ptr<const std::vector<size_t>> order_for_epoch(size_t epoch) {
+    std::lock_guard<std::mutex> lk(order_mu);
+    for (auto& e : order_cache)
+      if (e.first == epoch) return e.second;
+    auto order = std::make_shared<std::vector<size_t>>(img_paths.size());
+    for (size_t i = 0; i < order->size(); ++i) (*order)[i] = i;
+    if (shuffle) {
+      std::seed_seq ss{seed, (uint64_t)epoch};
+      std::mt19937_64 rng(ss);
+      std::shuffle(order->begin(), order->end(), rng);
+    }
+    if (order_cache.size() >= 3) order_cache.erase(order_cache.begin());
+    order_cache.emplace_back(epoch, order);
+    return order;
+  }
 
   ~Loader() {
     stop.store(true);
@@ -236,10 +263,11 @@ struct Loader {
 };
 
 void fill_slot(Loader* L, Loader::Slot* slot, size_t batch_seq) {
-  const size_t n = L->order.size();
+  const size_t epoch = batch_seq / L->batches_per_epoch;
+  const size_t b_in_epoch = batch_seq % L->batches_per_epoch;
+  auto order = L->order_for_epoch(epoch);
   for (int b = 0; b < L->batch; ++b) {
-    size_t linear = batch_seq * L->batch + b;
-    size_t idx = L->order[linear % n];  // one shuffled permutation, reused
+    size_t idx = (*order)[b_in_epoch * L->batch + b];
     Image img, lbl;
     if (!decode_file(L->img_paths[idx], &img, 3) || img.c != 3) {
       std::lock_guard<std::mutex> lk(L->mu);
@@ -294,6 +322,7 @@ void producer(Loader* L) {
         if (L->slot_state[i] == 0) {
           slot_idx = i;
           L->slot_state[i] = 1;
+          L->ring[i].seq = seq;
           break;
         }
       }
@@ -301,8 +330,11 @@ void producer(Loader* L) {
     fill_slot(L, &L->ring[slot_idx], seq);
     {
       std::lock_guard<std::mutex> lk(L->mu);
-      // NOTE: with >1 worker, batches may publish out of submission order —
-      // immaterial for shuffled training; use threads=1 for strict order.
+      // Slots publish as they finish, possibly out of submission order;
+      // loader_next delivers strictly by seq (it waits for seq == head),
+      // so the consumer-visible stream is deterministic for any thread
+      // count. Claimed seqs are consecutive and at most `prefetch` are
+      // outstanding, so the head's slot is always among them — no deadlock.
       L->slot_state[slot_idx] = 2;
     }
     L->cv_ready.notify_all();
@@ -316,8 +348,8 @@ extern "C" {
 void* loader_create(const char** img_paths, const char** lbl_paths, int n,
                     int batch, int h, int w, int threads, int prefetch,
                     const uint8_t* lut, uint64_t seed, int shuffle,
-                    int epochs) {
-  if (n <= 0 || batch <= 0 || prefetch <= 0) return nullptr;
+                    int epochs, uint64_t start_seq) {
+  if (n <= 0 || batch <= 0 || prefetch <= 0 || batch > n) return nullptr;
   auto* L = new Loader();
   L->img_paths.assign(img_paths, img_paths + n);
   if (lbl_paths) L->lbl_paths.assign(lbl_paths, lbl_paths + n);
@@ -326,17 +358,18 @@ void* loader_create(const char** img_paths, const char** lbl_paths, int n,
   L->w = w;
   L->prefetch = prefetch;
   L->shuffle = shuffle != 0;
-  L->rng.seed(seed);
+  L->seed = seed;
   if (lut) {
     memcpy(L->lut, lut, 256);
     L->has_lut = true;
   }
-  L->order.resize(n);
-  for (int i = 0; i < n; ++i) L->order[i] = i;
-  if (L->shuffle) std::shuffle(L->order.begin(), L->order.end(), L->rng);
-  L->epoch_len = n;
-  size_t batches_per_epoch = size_t(n) / batch;  // drop_last semantics
-  L->max_batches = epochs > 0 ? batches_per_epoch * epochs : 0;
+  L->batches_per_epoch = size_t(n) / batch;  // drop_last, restart each epoch
+  L->max_batches =
+      epochs > 0 ? L->batches_per_epoch * size_t(epochs) : 0;
+  // resume: continue the deterministic stream at batch `start_seq` —
+  // (seed, epoch) seeding makes this exactly the uninterrupted stream
+  L->head = start_seq;
+  L->total_batches = start_seq;
   L->ring.resize(prefetch);
   L->slot_state.assign(prefetch, 0);
   for (int i = 0; i < prefetch; ++i) {
@@ -357,16 +390,16 @@ int loader_next(void* handle, uint8_t* img_out, uint8_t* lbl_out) {
     std::unique_lock<std::mutex> lk(L->mu);
     L->cv_ready.wait(lk, [&] {
       if (L->stop.load() && !L->error.empty()) return true;
+      // strict in-order delivery: only the slot holding seq == head counts
       for (int i = 0; i < L->prefetch; ++i)
-        if (L->slot_state[i] == 2) return true;
-      // end of data: all produced and no slot pending
+        if (L->slot_state[i] == 2 && L->ring[i].seq == L->head) return true;
       if (L->max_batches && L->head >= L->max_batches) return true;
       return false;
     });
     if (!L->error.empty()) return -1;
     if (L->max_batches && L->head >= L->max_batches) return 0;
     for (int i = 0; i < L->prefetch; ++i) {
-      if (L->slot_state[i] == 2) {
+      if (L->slot_state[i] == 2 && L->ring[i].seq == L->head) {
         slot_idx = i;
         break;
       }

@@ -153,6 +153,7 @@ class TorchMiniUNet(tnn.Module):
         return self.head(y)
 
 
+@pytest.mark.slow
 def test_mini_unet_parity():
     from torch_semantic_segmentation_tpu.models.unet import DoubleConv, UpBlock
 
@@ -178,6 +179,7 @@ def test_mini_unet_parity():
     np.testing.assert_allclose(_run_jax(jmodel, x), _run_torch(tmodel, x), **TOL)
 
 
+@pytest.mark.slow
 def test_enet_full_model_parity():
     """Whole-model per-pixel logit parity under an imported torch checkpoint
     (the BASELINE.json north_star contract), incl. max-pool index
@@ -196,6 +198,7 @@ def test_enet_full_model_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fastscnn_full_model_parity():
     """Flagship-model parity: FastSCNN per-pixel logits under an imported
     torch checkpoint (ds-separable/inverted-residual/PPM/FFM semantics +
@@ -214,6 +217,7 @@ def test_fastscnn_full_model_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_deeplab_full_model_parity():
     """DeepLabV3-ResNet18 parity: dilated-backbone + multi-grid + ASPP
     (image-level pooling broadcast) + bilinear head."""
@@ -231,6 +235,7 @@ def test_deeplab_full_model_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bisenet_full_model_parity():
     """BiSeNet parity under an imported torch checkpoint: spatial path,
     ResNet-18 context path with ARM global-pool gates, FFM SE attention,
@@ -256,6 +261,7 @@ def test_bisenet_full_model_parity():
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_icnet_full_model_parity():
     """ICNet-ResNet50 parity: three-resolution cascade (shared dilated
     bottleneck trunk + PPM), cascade feature fusion, cascade-label-guidance
@@ -281,6 +287,7 @@ def test_icnet_full_model_parity():
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_unet_full_model_parity():
     """Full UNet parity (deconv decoder, base_ch=16 to keep CPU time down):
     4-stage encoder/decoder, skip concats, transposed-conv upsampling."""
@@ -298,6 +305,7 @@ def test_unet_full_model_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_contextnet_full_model_parity():
     """ContextNet (stretch tier) parity: ds-separable detail branch +
     quarter-res MobileNetV2 context trunk (incl. expand_ratio=1 blocks) +
@@ -316,6 +324,7 @@ def test_contextnet_full_model_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_erfnet_full_model_parity():
     """ERFNet (stretch tier) parity: ENet-style downsamplers and the
     factorized 3×1/1×3 non-bottleneck-1d blocks with dilated second pairs,
@@ -334,6 +343,7 @@ def test_erfnet_full_model_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lednet_full_model_parity():
     """LEDNet (stretch tier) parity: split-shuffle non-bottleneck encoder
     (channel split/shuffle, transposed right-branch conv order) + attention
@@ -352,6 +362,7 @@ def test_lednet_full_model_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_esnet_full_model_parity():
     """ESNet (stretch tier) parity: factorized conv units (K=3/5) and
     parallel dilated FCUs with a shared stem, deconv decoder."""
@@ -369,6 +380,7 @@ def test_esnet_full_model_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_deeplab_r101_os8_aux_parity():
     """DeepLabV3-ResNet101 at output-stride 8 with the FCN aux head — the
     reference's classic heavy config: 23-block dilated stage 3, multi-grid

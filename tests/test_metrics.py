@@ -1,6 +1,7 @@
 """Confusion-matrix mIoU vs numpy oracle (SURVEY.md §4.1)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -61,6 +62,7 @@ def test_absent_class_is_nan_not_zero():
     assert miou == 1.0  # nan-mean over supported classes
 
 
+@pytest.mark.slow
 def test_eval_step_low_res_logits_matches_full_res():
     """make_eval_step must evaluate upsample_logits=False models via the
     fused lane-major resize+argmax, matching the full-res twin's confusion

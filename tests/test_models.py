@@ -37,6 +37,7 @@ def _maybe(name):
 
 
 @pytest.mark.parametrize("name,kwargs,div", ZOO)
+@pytest.mark.slow
 def test_forward_shapes(name, kwargs, div):
     m = models.get_model(name, num_classes=19, **kwargs)
     m.eval()
@@ -49,6 +50,7 @@ def test_forward_shapes(name, kwargs, div):
 
 
 @pytest.mark.parametrize("name,kwargs,div", ZOO)
+@pytest.mark.slow
 def test_train_step_finite(name, kwargs, div):
     m = models.get_model(name, num_classes=7, **kwargs)
     tx = OptimizerConfig(lr=0.01, max_steps=10).make()
@@ -67,6 +69,7 @@ def test_train_step_finite(name, kwargs, div):
     assert jnp.isfinite(metrics["loss"])
 
 
+@pytest.mark.slow
 def test_fastscnn_aux_heads():
     m = models.get_model("fastscnn", num_classes=5, aux=True)
     m.eval()
@@ -77,6 +80,7 @@ def test_fastscnn_aux_heads():
     assert a2.shape == (1, 2, 2, 5)       # 1/32 res
 
 
+@pytest.mark.slow
 def test_bisenet_icnet_aux_count():
     for name, kw in (("bisenet", {"depth": 18}), ("icnet", {"depth": 18})):
         m = models.get_model(name, num_classes=5, aux=True, **kw)
@@ -117,6 +121,7 @@ def test_registry_lists_models():
     ("contextnet", {}, 32),
     ("lednet", {}, 16),
 ])
+@pytest.mark.slow
 def test_lowres_logits_plus_fused_loss_matches_fullres(name, kwargs, div):
     """upsample_logits=False + resize_cross_entropy_loss ==
     full-res logits + plain CE (identical parameters, identical loss)."""

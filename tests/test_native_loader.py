@@ -93,6 +93,65 @@ def test_batch_loader_resizes_mixed_sizes(tmp_path):
     it.close()
 
 
+@pytest.fixture
+def tagged_dir(tmp_path):
+    """8 files whose constant pixel value identifies the sample index."""
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f"t{i}.png")
+        cv2.imwrite(p, np.full((8, 8, 3), i * 10, np.uint8))
+        paths.append(p)
+    return paths
+
+
+def _id_stream(batches):
+    return [int(img[b, 0, 0, 0]) // 10 for img in batches
+            for b in range(img.shape[0])]
+
+
+def test_native_loader_order_deterministic_across_threads(tagged_dir):
+    """Regression (ADVICE r1 low): delivery is strictly by sequence number,
+    so the consumer-visible stream is identical for any thread count."""
+    streams = []
+    for threads in (1, 4):
+        it = native.NativeBatchLoader(tagged_dir, None, batch_size=2,
+                                      height=8, width=8, num_threads=threads,
+                                      shuffle=True, seed=7, epochs=2)
+        streams.append(_id_stream(list(it)))
+        it.close()
+    assert streams[0] == streams[1]
+    assert len(streams[0]) == 16
+
+
+def test_native_loader_reshuffles_each_epoch(tagged_dir):
+    """Regression (ADVICE r1 low): each epoch is a fresh (seed, epoch)
+    permutation covering every sample, not one reused order."""
+    it = native.NativeBatchLoader(tagged_dir, None, batch_size=2, height=8,
+                                  width=8, num_threads=2, shuffle=True,
+                                  seed=3, epochs=2)
+    ids = _id_stream(list(it))
+    it.close()
+    e0, e1 = ids[:8], ids[8:]
+    assert sorted(e0) == list(range(8)) and sorted(e1) == list(range(8))
+    assert e0 != e1                       # reshuffled (deterministic seed)
+
+
+def test_native_loader_start_batch_resumes_stream(tagged_dir):
+    """start_batch=k continues exactly where batch k of the uninterrupted
+    stream would be — the resume contract."""
+    full = native.NativeBatchLoader(tagged_dir, None, batch_size=2, height=8,
+                                    width=8, num_threads=2, shuffle=True,
+                                    seed=11, epochs=2)
+    want = _id_stream(list(full))[6:]      # skip 3 batches x 2 samples
+    full.close()
+    it = native.NativeBatchLoader(tagged_dir, None, batch_size=2, height=8,
+                                  width=8, num_threads=2, shuffle=True,
+                                  seed=11, epochs=2, start_batch=3)
+    got = _id_stream(list(it))
+    it.close()
+    assert got == want
+
+
 def test_dataset_adapter(image_dir, tmp_path):
     imgs, lbls = image_dir
 

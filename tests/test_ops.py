@@ -174,6 +174,7 @@ def test_prelu_parity():
     assert_close(m(jnp.asarray(x)), ref)
 
 
+@pytest.mark.slow
 def test_fold_batchnorm_preserves_eval_outputs():
     """ops.fold: folded conv == conv->BN in eval mode, and BN is gone."""
     from flax import nnx

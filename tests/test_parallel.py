@@ -4,6 +4,7 @@ the multi-scale evaluator must agree with single-scale argmax in the
 1-scale/no-flip configuration."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,7 @@ def _setup(num_classes=5, lr=0.05):
     return gd_train, gd_eval, state, tx
 
 
+@pytest.mark.slow
 def test_dp8_loss_and_params_match_single_device():
     assert jax.device_count() == 8
     gd_train, _, state, tx = _setup()
@@ -63,6 +65,7 @@ def test_dp8_loss_and_params_match_single_device():
                                    atol=2e-4, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_dp8_second_step_keeps_sharding():
     gd_train, _, state, tx = _setup()
     step = make_train_step(gd_train, tx, donate=False)
@@ -91,6 +94,7 @@ def test_multiscale_eval_single_scale_matches_plain_eval():
     np.testing.assert_array_equal(np.asarray(cm_a), np.asarray(cm_b))
 
 
+@pytest.mark.slow
 def test_multiscale_eval_with_flip_runs():
     _, gd_eval, state, _ = _setup(num_classes=5)
     images, labels = synthetic_batch(1, 32, 32, num_classes=5, seed=6)
@@ -127,6 +131,7 @@ def test_spatial_sharding_matches_unsharded_forward():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hybrid_dcn_mesh_matches_single_device():
     """Hybrid ('dcn_data','data') two-level mesh — the multi-slice scaling
     path (ICI within a slice, DCN across): batch sharded over both axes

@@ -3,6 +3,7 @@ compile works, and the overfit-one-batch test proves training dynamics
 end-to-end (model + loss + optimizer can drive train mIoU toward 1)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ def test_aot_compile_executes():
     assert out.shape == (1, 16, 16, 4)
 
 
+@pytest.mark.slow
 def test_overfit_one_batch():
     """Training dynamics: 40 steps on one tiny batch must push train
     accuracy way above chance (validates model/loss/optimizer wiring beyond

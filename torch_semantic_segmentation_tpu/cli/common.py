@@ -105,8 +105,23 @@ def build_dataset(name: str, root: str | None, split: str, *,
             label_lut=None,
             class_weights=None,
             mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD)
+    if name == "shapes":
+        # learnable synthetic task for accuracy-convergence evidence
+        # (data.synthetic.ShapesDataset); split decides the sample seed
+        from torch_semantic_segmentation_tpu.data.synthetic import ShapesDataset
+        n, h, w = synthetic_size
+        ds = ShapesDataset(n, h, w, seed=0 if split == "train" else 10_000)
+        return DatasetBundle(
+            dataset=ds,
+            num_classes=ShapesDataset.NUM_CLASSES,
+            ignore_index=255,
+            class_names=ShapesDataset.CLASS_NAMES,
+            label_lut=None,
+            class_weights=None,
+            mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD)
     raise ValueError(f"unknown dataset '{name}' "
-                     f"(cityscapes | camvid | bdd | mapillary | synthetic)")
+                     f"(cityscapes | camvid | bdd | mapillary | synthetic "
+                     f"| shapes)")
 
 
 def build_loss(loss: str, *, ignore_index: int, aux_weight: float,

@@ -23,7 +23,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="fastscnn")
     p.add_argument("--dataset", default="cityscapes",
-                   choices=["cityscapes", "camvid", "bdd", "mapillary", "synthetic"])
+                   choices=["cityscapes", "camvid", "bdd", "mapillary",
+                            "synthetic", "shapes"])
     p.add_argument("--dataset-dir", default=None)
     p.add_argument("--split", default="val")
     p.add_argument("--batch-size", type=int, default=4)

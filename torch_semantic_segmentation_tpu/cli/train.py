@@ -31,7 +31,8 @@ def parse_args(argv=None):
                         "config); explicit flags override its values")
     p.add_argument("--model", default="fastscnn")
     p.add_argument("--dataset", default="cityscapes",
-                   choices=["cityscapes", "camvid", "bdd", "mapillary", "synthetic"])
+                   choices=["cityscapes", "camvid", "bdd", "mapillary",
+                            "synthetic", "shapes"])
     p.add_argument("--dataset-dir", default=None)
     p.add_argument("--batch-size", type=int, default=16,
                    help="global batch (split across the data mesh axis)")
@@ -43,6 +44,12 @@ def parse_args(argv=None):
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--poly-power", type=float, default=0.9)
     p.add_argument("--max-iterations", type=int, default=1000)
+    p.add_argument("--schedule-steps", type=int, default=None,
+                   help="poly-LR decay horizon (defaults to "
+                        "--max-iterations). Set it to the TOTAL planned "
+                        "steps when a run will stop early and --resume "
+                        "later, so the schedule is continuous across the "
+                        "restart")
     p.add_argument("--loss", default="ce", choices=["ce", "ohem"])
     p.add_argument("--aux-weight", type=float, default=0.4)
     p.add_argument("--class-weights", action="store_true",
@@ -59,6 +66,12 @@ def parse_args(argv=None):
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run val-split mIoU evaluation every N steps "
+                        "(0 = off); tracks the best mIoU and keeps that "
+                        "checkpoint in <checkpoint-dir>/best")
+    p.add_argument("--eval-batches", type=int, default=None,
+                   help="cap the number of val batches per in-training eval")
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in --checkpoint-dir")
     p.add_argument("--log-every", type=int, default=50)
@@ -156,7 +169,8 @@ def _run(args, preempted):
 
     opt_cfg = OptimizerConfig(
         lr=args.lr, momentum=args.momentum, weight_decay=args.weight_decay,
-        power=args.poly_power, max_steps=args.max_iterations)
+        power=args.poly_power,
+        max_steps=args.schedule_steps or args.max_iterations)
     tx = opt_cfg.make()
     gd_train, gd_eval, state = create_train_state(model, tx)
     state = replicate(state, mesh)
@@ -217,20 +231,70 @@ def _run(args, preempted):
         writer = metric_writers.create_default_writer(args.logdir)
 
     sharding = batch_sharding(mesh)
+    # one batch per step, so batch-sequence == step: on resume the loaders
+    # fast-forward to start_step and the (seed, epoch)-keyed shuffle makes
+    # the stream bit-identical to an uninterrupted run (the restored
+    # data_key continues the augmentation randomness the same way)
     if args.native_loader:
         from torch_semantic_segmentation_tpu.data.native_loader import (
             native_batch_iterator)
         host = native_batch_iterator(bundle.dataset, args.batch_size,
                                      seed=args.seed,
-                                     label_lut=bundle.label_lut)
+                                     label_lut=bundle.label_lut,
+                                     start_batch=start_step)
     else:
         host = batch_iterator(bundle.dataset, args.batch_size,
-                              seed=args.seed, label_lut=bundle.label_lut)
+                              seed=args.seed, label_lut=bundle.label_lut,
+                              start_batch=start_step)
     dev = prefetch_to_device(host, size=2, sharding=sharding)
 
     lr_schedule = optax.polynomial_schedule(
         init_value=opt_cfg.lr, end_value=0.0, power=opt_cfg.power,
         transition_steps=opt_cfg.max_steps)
+
+    # In-training validation + best-checkpoint selection (SURVEY.md §2.6
+    # "Evaluator": the reference evaluated per epoch via ignite with
+    # best-mIoU ModelCheckpoint; here it's per --eval-every steps).
+    best_miou = float("-inf")
+    best_mgr = None
+    run_validation = None
+    if args.eval_every > 0:
+        from torch_semantic_segmentation_tpu.data.transforms import (
+            normalize_batch)
+        from torch_semantic_segmentation_tpu.eval import evaluate
+        from torch_semantic_segmentation_tpu.train import make_eval_step
+
+        val_bundle = build_dataset(
+            args.dataset, args.dataset_dir, "val",
+            synthetic_size=(max(args.batch_size * 2, 8), crop[0], crop[1]))
+        ev = make_eval_step(gd_eval, num_classes=val_bundle.num_classes,
+                            ignore_index=val_bundle.ignore_index)
+        if args.checkpoint_dir:
+            import os
+            from torch_semantic_segmentation_tpu.checkpoint import (
+                CheckpointManager)
+            best_mgr = CheckpointManager(
+                os.path.join(args.checkpoint_dir, "best"),
+                max_to_keep=1, save_interval_steps=1)
+
+        def run_validation(state):
+            def val_batches():
+                host = batch_iterator(
+                    val_bundle.dataset, args.batch_size, shuffle=False,
+                    drop_last=True, epochs=1, label_lut=val_bundle.label_lut)
+                for i, (imgs, lbls) in enumerate(
+                        prefetch_to_device(host, size=2)):
+                    if (args.eval_batches is not None
+                            and i >= args.eval_batches):
+                        return
+                    imgs = normalize_batch(imgs, mean=val_bundle.mean,
+                                           std=val_bundle.std)
+                    yield imgs, jnp.asarray(lbls, jnp.int32)
+
+            _, miou, _ = evaluate(ev, state.params, state.rest,
+                                  val_batches(),
+                                  num_classes=val_bundle.num_classes)
+            return float(miou)
 
     t0 = time.perf_counter()
     imgs_done = 0
@@ -254,6 +318,20 @@ def _run(args, preempted):
                     "train/lr": float(lr_schedule(it)),
                 })
             t0, imgs_done = time.perf_counter(), 0
+        if run_validation is not None and (
+                (it + 1) % args.eval_every == 0
+                or it + 1 == args.max_iterations):
+            miou = run_validation(state)
+            marker = ""
+            if miou > best_miou:
+                best_miou = miou
+                marker = " (best)"
+                if best_mgr is not None:
+                    best_mgr.save(it + 1, state, data_key=data_key,
+                                  force=True)
+            print(f"it {it + 1} val mIoU {100 * miou:.2f}{marker}")
+            if writer is not None:
+                writer.write_scalars(it + 1, {"val/miou": miou})
         # capture the flag BEFORE the save so a signal landing mid-save is
         # handled next iteration rather than skipping the forced checkpoint
         stopping = preempted["flag"]
@@ -270,9 +348,16 @@ def _run(args, preempted):
     if mgr is not None:
         mgr.wait()
         mgr.close()
+    if best_mgr is not None:
+        best_mgr.wait()
+        best_mgr.close()
     if writer is not None:
         writer.flush()
-    print(f"done: final loss {loss_val:.4f}")
+    if best_miou > float("-inf"):
+        print(f"done: final loss {loss_val:.4f} "
+              f"best val mIoU {100 * best_miou:.2f}")
+    else:
+        print(f"done: final loss {loss_val:.4f}")
     return state
 
 

@@ -42,7 +42,7 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint64,
     ]
     lib.loader_next.restype = ctypes.c_int
     lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -92,7 +92,8 @@ class NativeBatchLoader:
                  batch_size: int, height: int, width: int, *,
                  num_threads: int = 4, prefetch: int = 3,
                  label_lut: np.ndarray | None = None, seed: int = 0,
-                 shuffle: bool = True, epochs: int = 0):
+                 shuffle: bool = True, epochs: int = 0,
+                 start_batch: int = 0):
         lib = _load_lib()
         n = len(image_paths)
         if label_paths is not None and len(label_paths) != n:
@@ -104,7 +105,8 @@ class NativeBatchLoader:
                    if label_lut is not None else None)
         self._handle = lib.loader_create(
             self._imgs, self._lbls, n, batch_size, height, width,
-            num_threads, prefetch, lut_buf, seed, int(shuffle), epochs)
+            num_threads, prefetch, lut_buf, seed, int(shuffle), epochs,
+            start_batch)
         if not self._handle:
             raise RuntimeError("loader_create failed")
         self._lib = lib
@@ -141,7 +143,8 @@ def native_batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
                           prefetch: int = 3, epochs: int = 0,
                           label_lut: np.ndarray | None = None,
                           height: int | None = None,
-                          width: int | None = None):
+                          width: int | None = None,
+                          start_batch: int = 0):
     """Drop-in for `pipeline.batch_iterator` over path-pair datasets
     (Cityscapes/CamVid/BDD/Mapillary expose image_paths/label_paths).
     Probes the first image for H×W when not given."""
@@ -155,4 +158,4 @@ def native_batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
     return NativeBatchLoader(paths, lbls, batch_size, height, width,
                              num_threads=num_threads, prefetch=prefetch,
                              label_lut=label_lut, seed=seed, shuffle=shuffle,
-                             epochs=epochs)
+                             epochs=epochs, start_batch=start_batch)

@@ -14,13 +14,23 @@ crop *on the chip*, so only small uint8 tensors cross the PCIe/host boundary
 from __future__ import annotations
 
 import collections
-import itertools
 import queue
 import threading
 import typing as tp
 
 import jax
 import numpy as np
+
+
+def epoch_order(n: int, epoch: int, *, seed: int = 0,
+                shuffle: bool = True) -> np.ndarray:
+    """Deterministic per-epoch sample order: a fresh permutation seeded by
+    (seed, epoch), so any point of the stream is reconstructable from the
+    (seed, batch-sequence-number) pair alone — the contract resume relies on
+    (and the torch DataLoader per-epoch-reshuffle equivalent)."""
+    if not shuffle:
+        return np.arange(n)
+    return np.random.default_rng((seed, epoch)).permutation(n)
 
 
 def batch_iterator(
@@ -33,32 +43,58 @@ def batch_iterator(
     num_threads: int = 4,
     epochs: int | None = None,
     label_lut: np.ndarray | None = None,
+    start_batch: int = 0,
+    sample_slice: tuple[int, int] | None = None,
 ) -> tp.Iterator[tuple[np.ndarray, np.ndarray]]:
     """Yield (images (B,H,W,3) uint8, labels (B,H,W) uint8) host batches,
-    decoded by a thread pool that runs ahead of the consumer."""
+    decoded by a thread pool that runs ahead of the consumer.
+
+    Deterministic: batch k of a (dataset, batch_size, seed) stream is always
+    the same, independent of num_threads — workers decode concurrently but a
+    reorder buffer publishes strictly by sequence number. `start_batch`
+    fast-forwards to batch k without decoding the skipped ones (resume:
+    checkpointed step == batches consumed). `sample_slice=(lo, hi)` decodes
+    only that slice of each batch's sample list — the multi-host contract
+    (parallel.distributed): every process sees the same global order but
+    does 1/num_hosts of the decode work."""
     n = len(dataset)
     if n == 0:
         raise ValueError("empty dataset")
-    rng = np.random.default_rng(seed)
-    work: "queue.Queue[list[int] | None]" = queue.Queue(maxsize=4)
-    done: "queue.Queue" = queue.Queue(maxsize=4)
+    if drop_last:
+        batches_per_epoch = n // batch_size
+    else:
+        batches_per_epoch = -(-n // batch_size)
+    if batches_per_epoch == 0:
+        raise ValueError(f"dataset ({n}) smaller than batch ({batch_size}) "
+                         "with drop_last")
+    end = None if epochs is None else epochs * batches_per_epoch
+
+    work: "queue.Queue[tuple[int, list[int]] | None]" = queue.Queue(maxsize=4)
+    done: "queue.Queue" = queue.Queue(maxsize=max(4, num_threads + 2))
 
     def producer():
-        epoch_iter = itertools.count() if epochs is None else range(epochs)
-        for _ in epoch_iter:
-            order = rng.permutation(n) if shuffle else np.arange(n)
-            stop = n - (n % batch_size) if drop_last else n
-            for i in range(0, stop, batch_size):
-                work.put(list(order[i:i + batch_size]))
+        order, order_epoch = None, -1
+        seq = start_batch
+        while end is None or seq < end:
+            epoch, b = divmod(seq, batches_per_epoch)
+            if epoch != order_epoch:
+                order = epoch_order(n, epoch, seed=seed, shuffle=shuffle)
+                order_epoch = epoch
+            i = b * batch_size
+            work.put((seq, list(order[i:i + batch_size])))
+            seq += 1
         for _ in range(num_threads):
             work.put(None)
 
     def worker():
         while True:
-            idxs = work.get()
-            if idxs is None:
+            item = work.get()
+            if item is None:
                 done.put(None)
                 return
+            seq, idxs = item
+            if sample_slice is not None:
+                idxs = idxs[sample_slice[0]:sample_slice[1]]
             imgs, lbls = [], []
             for j in idxs:
                 im, lb = dataset[j]
@@ -66,19 +102,29 @@ def batch_iterator(
                     lb = label_lut[lb]
                 imgs.append(im)
                 lbls.append(lb)
-            done.put((np.stack(imgs), np.stack(lbls)))
+            done.put((seq, (np.stack(imgs), np.stack(lbls))))
 
     threading.Thread(target=producer, daemon=True).start()
     for _ in range(num_threads):
         threading.Thread(target=worker, daemon=True).start()
 
+    # reorder buffer: workers finish out of order; publish strictly by seq
+    pending: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    next_seq = start_batch
     finished = 0
     while finished < num_threads:
+        while next_seq in pending:
+            yield pending.pop(next_seq)
+            next_seq += 1
         item = done.get()
         if item is None:
             finished += 1
             continue
-        yield item
+        seq, batch = item
+        pending[seq] = batch
+    while next_seq in pending:
+        yield pending.pop(next_seq)
+        next_seq += 1
 
 
 def prefetch_to_device(
