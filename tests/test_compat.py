@@ -406,3 +406,107 @@ def test_deeplab_r101_os8_aux_parity():
     assert len(got) == len(want) == 2
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Key-name robustness (compat.key_maps; VERDICT r1 next #6): the public
+# repo's actual state_dict key strings are unverifiable (reference mount
+# empty), so the import path must survive ARBITRARY renames that preserve
+# torch registration order. These fuzz the renaming adversarially.
+# ---------------------------------------------------------------------------
+
+
+class TestKeyMaps:
+    def _parity(self, jmodel, tmodel):
+        x = np.random.RandomState(7).randn(1, 3, 16, 16).astype(np.float32)
+        np.testing.assert_allclose(_run_jax(jmodel, x),
+                                   _run_torch(tmodel, x), **TOL)
+
+    def test_auto_map_opaque_rename(self):
+        """Every key renamed to an opaque token — only order+shape survive."""
+        from torch_semantic_segmentation_tpu.compat.key_maps import (
+            load_with_auto_map)
+
+        tmodel = TorchStack()
+        _randomize_bn_stats(tmodel)
+        sd = {f"layer_{i:03d}.t": v
+              for i, (k, v) in enumerate(tmodel.state_dict().items())}
+        jmodel = JaxStack(rngs=nnx.Rngs(0))
+        leftover = load_with_auto_map(jmodel, sd)
+        assert leftover == []
+        self._parity(jmodel, tmodel)
+
+    def test_auto_map_sequential_integer_paths(self):
+        """nn.Sequential-style integer paths (features.0.weight, ...)."""
+        from torch_semantic_segmentation_tpu.compat.key_maps import (
+            load_with_auto_map)
+
+        tmodel = TorchStack()
+        _randomize_bn_stats(tmodel)
+        renamed = {}
+        for k, v in tmodel.state_dict().items():
+            parts = k.split(".")
+            blk = {"block1": "0", "block2": "1", "up": "2"}[parts[0]]
+            sub = {"conv": "0", "bn": "1", "act": "2"}.get(parts[1], None)
+            mid = [blk] if sub is None else [blk, sub]
+            renamed["features." + ".".join(mid + [parts[-1]])] = v
+        jmodel = JaxStack(rngs=nnx.Rngs(0))
+        load_with_auto_map(jmodel, renamed)
+        self._parity(jmodel, tmodel)
+
+    def test_auto_map_ddp_prefix(self):
+        from torch_semantic_segmentation_tpu.compat.key_maps import (
+            load_with_auto_map)
+
+        tmodel = TorchStack()
+        sd = {"module." + k: v for k, v in tmodel.state_dict().items()}
+        jmodel = JaxStack(rngs=nnx.Rngs(0))
+        load_with_auto_map(jmodel, sd)
+        self._parity(jmodel, tmodel)
+
+    def test_auto_map_rejects_wrong_architecture(self):
+        from torch_semantic_segmentation_tpu.compat.key_maps import (
+            auto_key_map)
+
+        jmodel = JaxStack(rngs=nnx.Rngs(0))
+        sd = dict(TorchStack().state_dict())
+        sd.pop("up.bias")
+        with pytest.raises(ValueError, match="count mismatch"):
+            auto_key_map(jmodel, sd)
+        sd = dict(TorchStack().state_dict())
+        sd["block1.conv.weight"] = torch.zeros(8, 3, 5, 5)
+        with pytest.raises(ValueError, match="shape mismatch at position"):
+            auto_key_map(jmodel, sd)
+
+    def test_alias_key_map_segments_and_prefixes(self):
+        """Declarative table: checkpoint names blocks stage1/stage2/deconv."""
+        from torch_semantic_segmentation_tpu.compat.key_maps import (
+            alias_key_map)
+
+        tmodel = TorchStack()
+        _randomize_bn_stats(tmodel)
+        ren = {"block1": "stage1", "block2": "stage2", "up": "deconv"}
+        sd = {".".join(ren.get(s, s) for s in k.split(".")): v
+              for k, v in tmodel.state_dict().items()}
+        jmodel = JaxStack(rngs=nnx.Rngs(0))
+        import_torch_state_dict(jmodel, sd, key_map=alias_key_map(ren))
+        self._parity(jmodel, tmodel)
+
+    def test_get_model_pretrained_path_and_dir(self, tmp_path):
+        """get_model(name, pretrained=...) mirrors the reference's
+        pretrained= constructor ergonomics (SURVEY.md §3.2)."""
+        from torch_semantic_segmentation_tpu.models import get_model
+
+        src = get_model("enet", num_classes=5, rngs=nnx.Rngs(3))
+        sd = export_torch_state_dict(src)
+        torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+                   tmp_path / "enet.pth")
+
+        for target in (tmp_path / "enet.pth", tmp_path):  # file, then dir
+            dst = get_model("enet", num_classes=5, pretrained=str(target),
+                            rngs=nnx.Rngs(4))
+            src.eval(), dst.eval()
+            x = jnp.asarray(
+                np.random.RandomState(5).randn(1, 32, 32, 3), jnp.float32)
+            np.testing.assert_allclose(np.asarray(dst(x)),
+                                       np.asarray(src(x)), **TOL)

@@ -50,6 +50,10 @@ class CheckpointManager:
         return self._mgr.save(step, args=ocp.args.Composite(**items),
                               force=force)
 
+    def latest_step(self) -> int | None:
+        """Newest saved step, or None if the directory holds no checkpoint."""
+        return self._mgr.latest_step()
+
     def restore_latest(self, state: TrainState, *,
                        data_key: jax.Array | None = None
                        ) -> tuple[TrainState, jax.Array | None, int] | None:

@@ -84,6 +84,13 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrained", default=None,
                    help="torch .pth checkpoint to import before training")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-process jax cluster "
+                        "(jax.distributed.initialize; coordinator from "
+                        "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID or TPU pod metadata). Each process "
+                        "decodes only its slice of every global batch "
+                        "(parallel.distributed)")
     args = p.parse_args(argv)
     if args.config:
         import json
@@ -139,6 +146,15 @@ def _run(args, preempted):
         batch_sharding, data_parallel_mesh, replicate)
     from torch_semantic_segmentation_tpu.train import (
         OptimizerConfig, create_train_state, make_train_step)
+
+    dist = None
+    if args.multihost:
+        from torch_semantic_segmentation_tpu.parallel import (
+            distributed as dist)
+        dist.initialize()
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
 
     crop = (args.crop_size[0], args.crop_size[-1])
     bundle = build_dataset(args.dataset, args.dataset_dir, "train",
@@ -211,6 +227,11 @@ def _run(args, preempted):
     mgr = None
     start_step = 0
     data_key = jax.random.key(args.seed + 1)
+    if dist is not None and dist.is_multiprocess():
+        # the aug PRNG key must be a global (replicated) array so the jit
+        # step sees consistent shardings across hosts
+        data_key = jax.random.wrap_key_data(
+            replicate(jax.random.key_data(data_key), mesh))
     if args.checkpoint_dir:
         from torch_semantic_segmentation_tpu.checkpoint import CheckpointManager
         mgr = CheckpointManager(args.checkpoint_dir,
@@ -226,7 +247,7 @@ def _run(args, preempted):
                 print(f"resumed from step {start_step}")
 
     writer = None
-    if args.logdir:
+    if args.logdir and jax.process_index() == 0:
         from clu import metric_writers
         writer = metric_writers.create_default_writer(args.logdir)
 
@@ -235,18 +256,29 @@ def _run(args, preempted):
     # fast-forward to start_step and the (seed, epoch)-keyed shuffle makes
     # the stream bit-identical to an uninterrupted run (the restored
     # data_key continues the augmentation randomness the same way)
-    if args.native_loader:
+    if dist is not None and dist.is_multiprocess():
+        if args.native_loader:
+            raise NotImplementedError(
+                "--native-loader under --multihost: the C++ loader has no "
+                "per-process sample_slice yet; use the Python loader")
+        # each process decodes 1/num_hosts of every deterministic global
+        # batch and contributes its shard of the global jax.Array
+        dev = dist.local_batch_iterator(
+            bundle.dataset, args.batch_size, mesh=mesh, seed=args.seed,
+            label_lut=bundle.label_lut, start_batch=start_step)
+    elif args.native_loader:
         from torch_semantic_segmentation_tpu.data.native_loader import (
             native_batch_iterator)
         host = native_batch_iterator(bundle.dataset, args.batch_size,
                                      seed=args.seed,
                                      label_lut=bundle.label_lut,
                                      start_batch=start_step)
+        dev = prefetch_to_device(host, size=2, sharding=sharding)
     else:
         host = batch_iterator(bundle.dataset, args.batch_size,
                               seed=args.seed, label_lut=bundle.label_lut,
                               start_batch=start_step)
-    dev = prefetch_to_device(host, size=2, sharding=sharding)
+        dev = prefetch_to_device(host, size=2, sharding=sharding)
 
     lr_schedule = optax.polynomial_schedule(
         init_value=opt_cfg.lr, end_value=0.0, power=opt_cfg.power,
@@ -279,11 +311,18 @@ def _run(args, preempted):
 
         def run_validation(state):
             def val_batches():
-                host = batch_iterator(
-                    val_bundle.dataset, args.batch_size, shuffle=False,
-                    drop_last=True, epochs=1, label_lut=val_bundle.label_lut)
-                for i, (imgs, lbls) in enumerate(
-                        prefetch_to_device(host, size=2)):
+                if dist is not None and dist.is_multiprocess():
+                    it = dist.local_batch_iterator(
+                        val_bundle.dataset, args.batch_size, mesh=mesh,
+                        shuffle=False, drop_last=True, epochs=1,
+                        label_lut=val_bundle.label_lut)
+                else:
+                    host = batch_iterator(
+                        val_bundle.dataset, args.batch_size, shuffle=False,
+                        drop_last=True, epochs=1,
+                        label_lut=val_bundle.label_lut)
+                    it = prefetch_to_device(host, size=2)
+                for i, (imgs, lbls) in enumerate(it):
                     if (args.eval_batches is not None
                             and i >= args.eval_batches):
                         return
@@ -309,7 +348,7 @@ def _run(args, preempted):
             dt = time.perf_counter() - t0
             img_s = imgs_done / dt
             print(f"it {it + 1}/{args.max_iterations} "
-                  f"loss {loss_val:.4f} "
+                  f"loss {loss_val:.6f} "
                   f"img/s {img_s:.1f}")
             if writer is not None:
                 writer.write_scalars(it + 1, {

@@ -176,12 +176,22 @@ def _to_numpy(v) -> np.ndarray:
     return np.asarray(v)
 
 
-def load_torch_checkpoint(model: nnx.Module, path: str, **kwargs) -> list[str]:
+def load_torch_checkpoint(model: nnx.Module, path: str, *,
+                          auto_map: bool = False, **kwargs) -> list[str]:
     """Load a `.pth`/`.pt` file saved by torch (the reference's pretrained
-    format, SURVEY.md §3.2 "load_state_dict_from_url")."""
+    format, SURVEY.md §3.2 "load_state_dict_from_url").
+
+    `auto_map=True` tolerates arbitrarily renamed keys via structural
+    order+shape alignment (compat.key_maps.load_with_auto_map) — use when
+    the checkpoint's naming scheme differs from our canonical attribute
+    paths; DDP `module.` prefixes are stripped automatically there."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    if auto_map:
+        from torch_semantic_segmentation_tpu.compat.key_maps import (
+            load_with_auto_map)
+        return load_with_auto_map(model, sd, **kwargs)
     return import_torch_state_dict(model, sd, **kwargs)

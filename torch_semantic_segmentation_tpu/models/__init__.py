@@ -17,12 +17,37 @@ def register(name):
     return deco
 
 
-def get_model(name: str, num_classes: int = 19, **kwargs):
-    """Build a zoo model by name (the reference CLI's `--model` flag)."""
+def get_model(name: str, num_classes: int = 19, *, pretrained=None, **kwargs):
+    """Build a zoo model by name (the reference CLI's `--model` flag).
+
+    `pretrained` mirrors the reference constructors' `pretrained=` argument
+    (SURVEY.md §3.2): a torch `.pth`/`.pt` checkpoint path, or a directory
+    containing `<name>.pth`. Keys that don't match our canonical attribute
+    paths are recovered by structural alignment (compat.key_maps).
+    """
     _ensure_registry()
     if name not in _REGISTRY:
         raise KeyError(f"unknown model '{name}'; available: {sorted(_REGISTRY)}")
-    return _REGISTRY[name](num_classes, **kwargs)
+    model = _REGISTRY[name](num_classes, **kwargs)
+    if pretrained:
+        import os
+
+        from torch_semantic_segmentation_tpu.compat.torch_loader import (
+            load_torch_checkpoint)
+        path = pretrained
+        if os.path.isdir(path):
+            path = os.path.join(path, f"{name}.pth")
+            if not os.path.exists(path):
+                path = path[:-4] + ".pt"
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"no {name}.pth / {name}.pt under '{pretrained}'")
+        try:
+            load_torch_checkpoint(model, path)
+        except (KeyError, ValueError):
+            # naming-scheme mismatch: fall back to structural alignment
+            load_torch_checkpoint(model, path, auto_map=True)
+    return model
 
 
 def available_models():

@@ -84,8 +84,27 @@ def label_sharding(mesh: Mesh, *, spatial: bool = False) -> NamedSharding:
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated on the mesh (params / opt state)."""
+    """Place a pytree fully replicated on the mesh (params / opt state).
+
+    Works on multi-host meshes too: there `device_put` can't target
+    non-addressable devices, so each process contributes its (identical —
+    same seed) host copy via `make_array_from_process_local_data`."""
     sh = NamedSharding(mesh, P())
+    if any(d.process_index != jax.process_index()
+           for d in mesh.devices.flat):
+        import jax.numpy as jnp
+        import numpy as np
+
+        def put(x):
+            if (hasattr(x, "dtype")
+                    and jnp.issubdtype(x.dtype, jax.dtypes.prng_key)):
+                kd = jax.make_array_from_process_local_data(
+                    sh, np.asarray(jax.random.key_data(x)))
+                return jax.random.wrap_key_data(
+                    kd, impl=jax.random.key_impl(x))
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(x))
+        return jax.tree.map(put, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
