@@ -36,7 +36,7 @@ def test_dw_forward_matches_lax(shape, stride, dtype):
     assert y.shape == ref.shape
     tol = 5e-2 if dtype == jnp.bfloat16 else 1e-5
     np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
-                               atol=tol)
+                               rtol=1e-2, atol=tol)
 
 
 @pytest.mark.parametrize("shape,stride", FAST_CASES)

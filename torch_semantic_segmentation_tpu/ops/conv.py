@@ -205,12 +205,48 @@ class ConvBNAct(nnx.Module):
             self.act = None
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = self.conv(x)
+        y = self._maybe_pallas_dw(x)
+        if y is None:
+            y = self.conv(x)
         if self.bn is not None:
             y = self.bn(y)
         if self.act is not None:
             return self.act(y)
         return activation(self._act_name)(y)
+
+    def _maybe_pallas_dw(self, x: jax.Array) -> jax.Array | None:
+        """Route full-res depthwise 3×3 convs through the packed Pallas
+        kernel (ops.pallas_dw) on TPU — XLA's lane-padded layouts move up
+        to 9× the minimum HBM bytes on C<128 depthwise convs
+        (docs/FULLRES_ROOFLINE.md). Exact vs the lax path up to output
+        rounding; kill switch TPU_SEG_PALLAS_DW=0."""
+        conv = self.conv
+        if (conv.feature_group_count == 1
+                or conv.feature_group_count != x.shape[-1]
+                or conv.kernel_size != (3, 3)
+                or conv.kernel_dilation not in ((1, 1), 1)
+                or conv.strides not in ((1, 1), (2, 2), 1, 2)
+                or conv.padding != ((1, 1), (1, 1))
+                or conv.use_bias):
+            return None
+        stride = conv.strides[0] if isinstance(conv.strides, tuple) else conv.strides
+        # stride-1 measured a wash vs XLA (12.7 vs 12.4 ms at c64
+        # 256x512xb32); only the stride-2 layouts carry the 1.5-1.7x win
+        if stride != 2:
+            return None
+        from torch_semantic_segmentation_tpu.ops import pallas_dw
+        if not pallas_dw.routing_enabled():
+            return None
+        if not pallas_dw.supports(x.shape, stride, dtype=x.dtype):
+            return None
+        # spatial floor: below it per-program overhead beats XLA's
+        # padding waste (override: TPU_SEG_PALLAS_DW_MIN_PX)
+        import os
+        floor = int(os.environ.get("TPU_SEG_PALLAS_DW_MIN_PX", 1 << 18))
+        if x.shape[0] * x.shape[1] * x.shape[2] < floor:
+            return None
+        return pallas_dw.depthwise_conv3x3(x, conv.kernel.value,
+                                           stride=stride)
 
 
 class SeparableConv(nnx.Module):

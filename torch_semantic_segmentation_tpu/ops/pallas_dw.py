@@ -8,44 +8,41 @@ half-res depthwise moves ~9× its minimum HBM bytes (12.1 GB measured vs
 1.3 GB floor for ds1 at b32). Depthwise convs never mix channels, which
 makes them expressible in a zero-padding packed layout using only the
 Mosaic primitives this platform supports (probe results in the roofline
-doc): strided ref reads, lane rolls, iota selects, pad/slice shifts.
+doc): lane rolls (fp32), iota selects, pad/slice shifts, and — for the
+stride-2 group-parity splits, where Mosaic's strided vector loads are
+32-bit-only and lane compaction is unsupported — *exact one-hot
+selection matmuls on the otherwise idle MXU* (one-hot f32 × bf16-exact
+f32 values ⇒ bit-exact row selection).
 
-Layout: NHWC (N, H, W, C) --pure reshape--> (N, H, G, L) where G = W/P,
-L = P·C, lane ℓ = C·m + c for w = P·g + m; L is a multiple of 128 ⇒ no
-lane padding anywhere and the reshape is free (same linear byte order).
-
-Mosaic's strided vector loads/stores are 32-bit-only on this platform, so
-for bf16 the packed array is additionally bitcast to uint32 *lane pairs*
-(adjacent channels c=2c₂, 2c₂+1 share a word). All data movement — tap
-rolls, m-selects, strided group reads — happens on the raw 32-bit
-vectors (channel-pair space, unit C/2); only the multiply-accumulate
-unpacks a word into two fp32 lanes (bf16 bits b ≡ f32 bits b<<16) and the
-store packs two fp32 accumulators back with round-to-nearest-even. The
-pack factor is chosen so the *32-bit* lane count is a multiple of 128:
-P = 128/gcd(C_eff, 128) with C_eff = C/2 for bf16.
+Layout: NHWC (N, H, W, C) --pure reshape--> (N, H, G, L) where
+P = 128/gcd(C, 128), G = W/P, L = P·C, lane ℓ = C·m + c for w = P·g+m.
+L is a multiple of 128 ⇒ no lane padding anywhere; the reshape is free
+at the XLA boundary (same linear byte order, no transpose, no bitcast),
+so the op composes with arbitrary XLA neighbours at zero cost.
 
 Per output row, a tap (dh, dw) needs x[s·h'+dh-1, s·w'+dw-1]:
 - rows (dh): direct indexing of the row-band block (+1 halo row via a
   second BlockSpec whose index_map addresses row s·TH·i − 1, clamped and
   zero-masked at the image border);
-- lanes (dw, stride 1): roll by ∓C_eff with the group-boundary lane
-  taking the adjacent group's value (shift-down/up slab, iota select);
-- lanes (dw, stride 2): out lane C_eff·m'+c draws from in lane
-  C_eff·m_src+c of group 2g'+δ where 2m'+dw-1 = P·δ + m_src — assembled
-  from the even / odd / previous-odd group slabs (strided ref reads)
-  with P iota-selected rolls per tap.
+- lanes (dw, stride 1): roll by ∓C with the group-boundary lane taking
+  the adjacent group's value (shift-down/up slab, iota select);
+- lanes (dw, stride 2): out lane C·m'+c draws from in lane C·m_src+c of
+  group 2g'+δ where 2m'+dw-1 = P·δ + m_src — assembled from the even /
+  odd / previous-odd group slabs (selection matmuls) with P
+  iota-selected rolls per tap.
 
 Backward is custom-VJP with Pallas kernels: stride-1 dx is the forward
-kernel with the flipped kernel; stride-2 dx is the lane-expansion map
-(dy lane u = (P·ρ+m+1-dw)/2 feeds dx lane m of group parity ρ, the u=P
-carry coming from the next group slab); dk accumulates per-tap
-Σ taps(x)⊙dy into a (9·pairs, L) fp32 buffer revisited by every grid
-step and is folded to (3,3,C) outside.
+kernel with the flipped kernel; stride-2 dx computes per-group-parity
+slabs through the lane-expansion map (dy lane u = (P·ρ+m+1-dw)/2 feeds
+dx lane m of parity ρ, the u=P carry from the next group slab) and
+merges them with transposed selection matmuls; dk accumulates per-tap
+Σ taps(x)⊙dy into a revisited (9, L) fp32 block, folded to (3,3,C)
+outside.
 
-All arithmetic is fp32 on the VPU with a single packed store per output
-row. Numerically exact vs fp32 `lax.conv_general_dilated` with
-`feature_group_count=C` up to fma reassociation (for bf16 inputs the
-taps are exact bf16→f32 upcasts; only the final store rounds).
+All arithmetic is fp32 on the VPU/MXU (bf16 inputs are upcast exactly
+per-slab) with a single cast-and-store per output row. Numerically
+exact vs fp32 `lax.conv_general_dilated(feature_group_count=C)` up to
+fma reassociation; bf16 differs only by the final output rounding.
 
 Reference parity anchor: torch `Conv2d(C, C, 3, stride=s, padding=1,
 groups=C, bias=False)` (SURVEY.md §2.2; /root/reference mount empty —
@@ -59,49 +56,43 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["depthwise_conv3x3", "depthwise_conv3x3_reference", "supports"]
 
 
-def _pack_factor(c: int, pair: bool) -> int:
-    c_eff = c // 2 if pair else c
-    return 128 // math.gcd(c_eff, 128)
+def pack_factor(c: int) -> int:
+    return 128 // math.gcd(c, 128)
 
 
-def _pack(x: jax.Array, pair: bool):
-    """NHWC -> (N, H, G, L_vec) raw-vector array (+ channel-unit cu).
-
-    bf16: bitcast lane pairs to uint32 (free: same byte order)."""
+def _pack(x: jax.Array):
     n, h, w, c = x.shape
-    p = _pack_factor(c, pair)
-    if pair:
-        xp = jax.lax.bitcast_convert_type(
-            x.reshape(n, h, w // p, p * c // 2, 2), jnp.uint32)
-        return xp, c // 2
-    return x.reshape(n, h, w // p, p * c), c
+    p = pack_factor(c)
+    return x.reshape(n, h, w // p, p * c)
 
 
-def _unpack(xp: jax.Array, c: int, pair: bool, dtype) -> jax.Array:
-    n, h, g, le = xp.shape
-    if pair:
-        xb = jax.lax.bitcast_convert_type(xp, dtype)  # (..., le, 2)
-        return xb.reshape(n, h, g * (2 * le // c), c)
-    return xp.reshape(n, h, g * (le // c), c)
+def _unpack(xp: jax.Array, c: int) -> jax.Array:
+    n, h, g, l = xp.shape
+    return xp.reshape(n, h, g * (l // c), c)
 
 
-def _lane_weights(k33c: jax.Array, p: int, pair: bool) -> jax.Array:
-    """(3,3,C) -> fp32 (9, P·C) or, paired, (18, P·C/2): rows 2j / 2j+1
-    hold tap j's even / odd channels."""
+def _lane_weights(k33c: jax.Array, p: int) -> jax.Array:
+    """(3,3,C) -> fp32 (9, P·C): row dh*3+dw holds k[dh,dw,:] tiled P×."""
     c = k33c.shape[-1]
     kf = k33c.astype(jnp.float32).reshape(9, 1, c)
-    if pair:
-        kf = kf.reshape(9, 1, c // 2, 2)
-        kf = jnp.broadcast_to(kf, (9, p, c // 2, 2))
-        kf = jnp.moveaxis(kf, -1, 1)  # (9, 2, p, c//2)
-        return kf.reshape(18, p * c // 2)
     return jnp.broadcast_to(kf, (9, p, c)).reshape(9, p * c)
+
+
+def _parity_selectors(g: int):
+    """One-hot fp32 (G/2, G) selecting even / odd rows (exact on MXU)."""
+    r = np.arange(g // 2)
+    se = np.zeros((g // 2, g), np.float32)
+    so = np.zeros((g // 2, g), np.float32)
+    se[r, 2 * r] = 1.0
+    so[r, 2 * r + 1] = 1.0
+    return jnp.asarray(se), jnp.asarray(so)
 
 
 def _shift_down(slab: jax.Array) -> jax.Array:
@@ -124,57 +115,13 @@ def _zero_like(v, live):
     return jnp.where(live, v, jnp.zeros_like(v))
 
 
-def _mk_math(pair: bool, out_dtype):
-    """fma/store hooks over raw vectors; acc is a tuple of fp32 slabs."""
-    if not pair:
-
-        def zero(shape):
-            return (jnp.zeros(shape, jnp.float32),)
-
-        def fma(acc, tap, kb_ref, j):
-            return (acc[0] + tap.astype(jnp.float32)
-                    * kb_ref[j, :][None, :],)
-
-        def store(acc):
-            return acc[0].astype(out_dtype)
-
-        def mulsum(tap, dy):  # per-lane Σ_rows tap·dy, rows list per tap j
-            return (jnp.sum(tap.astype(jnp.float32)
-                            * dy.astype(jnp.float32), axis=0),)
-
-        return zero, fma, store, mulsum
-
-    def unpk(v):
-        lo = jax.lax.bitcast_convert_type(v << 16, jnp.float32)
-        hi = jax.lax.bitcast_convert_type(v & jnp.uint32(0xFFFF0000),
-                                          jnp.float32)
-        return lo, hi
-
-    def zero(shape):
-        return (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
-
-    def fma(acc, tap, kb_ref, j):
-        lo, hi = unpk(tap)
-        return (acc[0] + lo * kb_ref[2 * j, :][None, :],
-                acc[1] + hi * kb_ref[2 * j + 1, :][None, :])
-
-    def _rne(f):
-        b = jax.lax.bitcast_convert_type(f, jnp.uint32)
-        return (b + jnp.uint32(0x7FFF) + ((b >> 16) & jnp.uint32(1))) >> 16
-
-    def store(acc):
-        return (_rne(acc[1]) << 16) | _rne(acc[0])
-
-    def mulsum(tap, dy):
-        tl, th = unpk(tap)
-        dl, dh_ = unpk(dy)
-        return (jnp.sum(tl * dl, axis=0), jnp.sum(th * dh_, axis=0))
-
-    return zero, fma, store, mulsum
+def _sel(sel_ref, j, slab):
+    return jax.lax.dot(sel_ref[j], slab,
+                       preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
-# tap plans (in channel-unit space; valid for plain and paired vectors)
+# tap plans
 # ---------------------------------------------------------------------------
 
 
@@ -214,78 +161,89 @@ def _s2_dx_plan(p: int):
     return plans
 
 
+def _build_tap(plan_dw, srcs, rolled, m_iota, cu):
+    tap = None
+    for mp, (s_id, m_src) in enumerate(plan_dw):
+        key = (s_id, (mp - m_src) * cu)
+        if key not in rolled:
+            rolled[key] = _roll(srcs[s_id], key[1])
+        v = rolled[key]
+        tap = (jnp.where(m_iota == mp, v, tap) if tap is not None
+               else jnp.where(m_iota == mp, v, jnp.zeros_like(v)))
+    return tap
+
+
 # ---------------------------------------------------------------------------
 # forward kernels
 # ---------------------------------------------------------------------------
 
 
-def _make_s2_fwd(tm, gp, le, cu, pair, out_dtype):
-    p = le // cu
+def _make_s2_fwd(tm, g, l, cu, out_dtype):
+    p = l // cu
+    gp = g // 2
     plan = _s2_tap_plan(p)
-    zero, fma, store, _ = _mk_math(pair, out_dtype)
 
-    def kernel(xm_ref, xh_ref, kb_ref, y_ref):
+    def kernel(xm_ref, xh_ref, kb_ref, sel_ref, y_ref):
         i = pl.program_id(1)
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, (gp, le), 1) // cu
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, (gp, l), 1) // cu
+
+        srcs_cache = {}
 
         def row_sources(lr):
+            if lr in srcs_cache:
+                return srcs_cache[lr]
             if lr < 0:
-                e0 = _zero_like(xh_ref[0, 0, 0::2, :], i > 0)
-                e1 = _zero_like(xh_ref[0, 0, 1::2, :], i > 0)
+                slab = _zero_like(xh_ref[0, 0].astype(jnp.float32), i > 0)
             else:
-                e0 = xm_ref[0, lr, 0::2, :]
-                e1 = xm_ref[0, lr, 1::2, :]
-            return e0, e1, _shift_down(e1)
+                slab = xm_ref[0, lr].astype(jnp.float32)
+            e0 = _sel(sel_ref, 0, slab)
+            e1 = _sel(sel_ref, 1, slab)
+            out = (e0, e1, _shift_down(e1))
+            srcs_cache[lr] = out
+            return out
 
         for t in range(tm):
-            acc = zero((gp, le))
+            acc = jnp.zeros((gp, l), jnp.float32)
             for dh in range(3):
                 srcs = row_sources(2 * t + dh - 1)
                 rolled = {}
                 for dw in range(3):
-                    tap = None
-                    for mp, (s_id, m_src) in enumerate(plan[dw]):
-                        key = (s_id, (mp - m_src) * cu)
-                        if key not in rolled:
-                            rolled[key] = _roll(srcs[s_id], key[1])
-                        v = rolled[key]
-                        tap = (jnp.where(m_iota == mp, v, tap)
-                               if tap is not None else
-                               jnp.where(m_iota == mp, v, jnp.zeros_like(v)))
-                    acc = fma(acc, tap, kb_ref, dh * 3 + dw)
-            y_ref[0, t] = store(acc)
+                    tap = _build_tap(plan[dw], srcs, rolled, m_iota, cu)
+                    acc = acc + tap * kb_ref[dh * 3 + dw, :][None, :]
+            y_ref[0, t] = acc.astype(out_dtype)
 
     return kernel
 
 
-def _make_s1_fwd(tm, g, le, cu, pair, out_dtype, nbands):
-    zero, fma, store, _ = _mk_math(pair, out_dtype)
+def _make_s1_fwd(tm, g, l, cu, out_dtype, nbands):
 
     def kernel(xm_ref, xt_ref, xb_ref, kb_ref, y_ref):
         i = pl.program_id(1)
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, (g, le), 1) // cu
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, (g, l), 1) // cu
         first = m_iota == 0
-        last = m_iota == (le // cu) - 1
+        last = m_iota == (l // cu) - 1
 
         def slab_at(lr):
             if lr < 0:
-                return _zero_like(xt_ref[0, 0], i > 0)
+                return _zero_like(xt_ref[0, 0].astype(jnp.float32), i > 0)
             if lr >= tm:
-                return _zero_like(xb_ref[0, 0], i < nbands - 1)
-            return xm_ref[0, lr]
+                return _zero_like(xb_ref[0, 0].astype(jnp.float32),
+                                  i < nbands - 1)
+            return xm_ref[0, lr].astype(jnp.float32)
 
         for t in range(tm):
-            acc = zero((g, le))
+            acc = jnp.zeros((g, l), jnp.float32)
             for dh in range(3):
                 a = slab_at(t + dh - 1)
                 t0 = jnp.where(first, _roll(_shift_down(a), cu),
                                _roll(a, cu))                   # w-1
                 t2 = jnp.where(last, _roll(_shift_up(a), -cu),
                                _roll(a, -cu))                  # w+1
-                acc = fma(acc, t0, kb_ref, dh * 3 + 0)
-                acc = fma(acc, a, kb_ref, dh * 3 + 1)
-                acc = fma(acc, t2, kb_ref, dh * 3 + 2)
-            y_ref[0, t] = store(acc)
+                acc = (acc
+                       + t0 * kb_ref[dh * 3 + 0, :][None, :]
+                       + a * kb_ref[dh * 3 + 1, :][None, :]
+                       + t2 * kb_ref[dh * 3 + 2, :][None, :])
+            y_ref[0, t] = acc.astype(out_dtype)
 
     return kernel
 
@@ -295,24 +253,25 @@ def _make_s1_fwd(tm, g, le, cu, pair, out_dtype, nbands):
 # ---------------------------------------------------------------------------
 
 
-def _make_s2_bwd_dx(tb, gp, le, cu, pair, out_dtype, g_full, nbands):
-    p = le // cu
+def _make_s2_bwd_dx(tb, gp, l, cu, out_dtype, nbands):
+    p = l // cu
     plans = _s2_dx_plan(p)
-    zero, fma, store, _ = _mk_math(pair, out_dtype)
 
-    def kernel(dy_ref, dyb_ref, kb_ref, dx_ref):
+    def kernel(dy_ref, dyb_ref, kb_ref, selt_ref, dx_ref):
         i = pl.program_id(1)
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, (gp, le), 1) // cu
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, (gp, l), 1) // cu
 
         def dy_slab(r):
             if r >= tb // 2:
-                return _zero_like(dyb_ref[0, 0], i < nbands - 1)
-            return dy_ref[0, r]
+                return _zero_like(dyb_ref[0, 0].astype(jnp.float32),
+                                  i < nbands - 1)
+            return dy_ref[0, r].astype(jnp.float32)
 
         for t in range(tb):
             dh_rows = ([(1, t // 2)] if t % 2 == 0
                        else [(0, (t + 1) // 2), (2, (t - 1) // 2)])
-            acc = {0: zero((gp, le)), 1: zero((gp, le))}
+            acc = {0: jnp.zeros((gp, l), jnp.float32),
+                   1: jnp.zeros((gp, l), jnp.float32)}
             for dh, r in dh_rows:
                 d = dy_slab(r)
                 dn = _shift_up(d)
@@ -323,74 +282,67 @@ def _make_s2_bwd_dx(tb, gp, le, cu, pair, out_dtype, g_full, nbands):
                         if key not in rolled:
                             rolled[key] = _roll(dn if use_next else d,
                                                 key[1])
-                        masked = jnp.where(m_iota == m, rolled[key],
-                                           jnp.zeros_like(rolled[key]))
-                        acc[rho] = fma(acc[rho], masked, kb_ref,
-                                       dh * 3 + dw)
-            for rho in range(2):
-                dx_ref[0, t * g_full + rho:(t + 1) * g_full:2, :] = (
-                    store(acc[rho]))
+                        term = jnp.where(
+                            m_iota == m,
+                            rolled[key] * kb_ref[dh * 3 + dw, :][None, :],
+                            0.0)
+                        acc[rho] = acc[rho] + term
+            merged = (_sel(selt_ref, 0, acc[0])
+                      + _sel(selt_ref, 1, acc[1]))
+            dx_ref[0, t] = merged.astype(out_dtype)
 
     return kernel
 
 
-def _make_s2_bwd_dk(tm, gp, le, cu, pair):
-    p = le // cu
+def _make_s2_bwd_dk(tm, g, l, cu):
+    p = l // cu
+    gp = g // 2
     plan = _s2_tap_plan(p)
-    _, _, _, mulsum = _mk_math(pair, None)
-    rows_per_tap = 2 if pair else 1
 
-    def kernel(xm_ref, xh_ref, dy_ref, dk_ref):
+    def kernel(xm_ref, xh_ref, dy_ref, sel_ref, dk_ref):
         nn = pl.program_id(0)
         i = pl.program_id(1)
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, (gp, le), 1) // cu
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, (gp, l), 1) // cu
 
         @pl.when(jnp.logical_and(nn == 0, i == 0))
         def _():
             dk_ref[...] = jnp.zeros_like(dk_ref)
 
+        srcs_cache = {}
+
         def row_sources(lr):
+            if lr in srcs_cache:
+                return srcs_cache[lr]
             if lr < 0:
-                e0 = _zero_like(xh_ref[0, 0, 0::2, :], i > 0)
-                e1 = _zero_like(xh_ref[0, 0, 1::2, :], i > 0)
+                slab = _zero_like(xh_ref[0, 0].astype(jnp.float32), i > 0)
             else:
-                e0 = xm_ref[0, lr, 0::2, :]
-                e1 = xm_ref[0, lr, 1::2, :]
-            return e0, e1, _shift_down(e1)
+                slab = xm_ref[0, lr].astype(jnp.float32)
+            e0 = _sel(sel_ref, 0, slab)
+            e1 = _sel(sel_ref, 1, slab)
+            out = (e0, e1, _shift_down(e1))
+            srcs_cache[lr] = out
+            return out
 
         for t in range(tm):
-            dyt = dy_ref[0, t]
+            dyt = dy_ref[0, t].astype(jnp.float32)
             for dh in range(3):
                 srcs = row_sources(2 * t + dh - 1)
                 rolled = {}
                 for dw in range(3):
-                    tap = None
-                    for mp, (s_id, m_src) in enumerate(plan[dw]):
-                        key = (s_id, (mp - m_src) * cu)
-                        if key not in rolled:
-                            rolled[key] = _roll(srcs[s_id], key[1])
-                        v = rolled[key]
-                        tap = (jnp.where(m_iota == mp, v, tap)
-                               if tap is not None else
-                               jnp.where(m_iota == mp, v, jnp.zeros_like(v)))
-                    parts = mulsum(tap, dyt)
-                    j = dh * 3 + dw
-                    for par, val in enumerate(parts):
-                        dk_ref[rows_per_tap * j + par, :] += val
+                    tap = _build_tap(plan[dw], srcs, rolled, m_iota, cu)
+                    dk_ref[dh * 3 + dw, :] += jnp.sum(tap * dyt, axis=0)
 
     return kernel
 
 
-def _make_s1_bwd_dk(tm, g, le, cu, pair, nbands):
-    _, _, _, mulsum = _mk_math(pair, None)
-    rows_per_tap = 2 if pair else 1
+def _make_s1_bwd_dk(tm, g, l, cu, nbands):
 
     def kernel(xm_ref, xt_ref, xb_ref, dy_ref, dk_ref):
         nn = pl.program_id(0)
         i = pl.program_id(1)
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, (g, le), 1) // cu
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, (g, l), 1) // cu
         first = m_iota == 0
-        last = m_iota == (le // cu) - 1
+        last = m_iota == (l // cu) - 1
 
         @pl.when(jnp.logical_and(nn == 0, i == 0))
         def _():
@@ -398,13 +350,14 @@ def _make_s1_bwd_dk(tm, g, le, cu, pair, nbands):
 
         def slab_at(lr):
             if lr < 0:
-                return _zero_like(xt_ref[0, 0], i > 0)
+                return _zero_like(xt_ref[0, 0].astype(jnp.float32), i > 0)
             if lr >= tm:
-                return _zero_like(xb_ref[0, 0], i < nbands - 1)
-            return xm_ref[0, lr]
+                return _zero_like(xb_ref[0, 0].astype(jnp.float32),
+                                  i < nbands - 1)
+            return xm_ref[0, lr].astype(jnp.float32)
 
         for t in range(tm):
-            dyt = dy_ref[0, t]
+            dyt = dy_ref[0, t].astype(jnp.float32)
             for dh in range(3):
                 a = slab_at(t + dh - 1)
                 taps = (
@@ -415,10 +368,7 @@ def _make_s1_bwd_dk(tm, g, le, cu, pair, nbands):
                               _roll(a, -cu)),
                 )
                 for dw, tap in enumerate(taps):
-                    parts = mulsum(tap, dyt)
-                    j = dh * 3 + dw
-                    for par, val in enumerate(parts):
-                        dk_ref[rows_per_tap * j + par, :] += val
+                    dk_ref[dh * 3 + dw, :] += jnp.sum(tap * dyt, axis=0)
 
     return kernel
 
@@ -439,127 +389,127 @@ def _spec(block, imap):
     return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
 
 
-def _dw_s2_fwd_call(xp, kb, cu, pair, out_dtype, interpret):
-    n, h, g, le = xp.shape
+def _dw_s2_fwd_call(xp, kb, cu, interpret):
+    n, h, g, l = xp.shape
     hp, gp = h // 2, g // 2
     tm = _pick_tile(hp)
-    kernel = _make_s2_fwd(tm, gp, le, cu, pair, out_dtype)
+    se, so = _parity_selectors(g)
+    sel = jnp.stack([se, so])
+    kernel = _make_s2_fwd(tm, g, l, cu, xp.dtype)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, hp, gp, le), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, hp, gp, l), xp.dtype),
         grid=(n, hp // tm),
         in_specs=[
-            _spec((1, 2 * tm, g, le), lambda nn, ii: (nn, ii, 0, 0)),
-            _spec((1, 1, g, le),
+            _spec((1, 2 * tm, g, l), lambda nn, ii: (nn, ii, 0, 0)),
+            _spec((1, 1, g, l),
                   lambda nn, ii: (nn, jnp.maximum(2 * tm * ii - 1, 0), 0, 0)),
             _spec(kb.shape, lambda nn, ii: (0, 0)),
+            _spec(sel.shape, lambda nn, ii: (0, 0, 0)),
         ],
-        out_specs=_spec((1, tm, gp, le), lambda nn, ii: (nn, ii, 0, 0)),
+        out_specs=_spec((1, tm, gp, l), lambda nn, ii: (nn, ii, 0, 0)),
         interpret=interpret,
-    )(xp, xp, kb)
+    )(xp, xp, kb, sel)
 
 
-def _dw_s1_fwd_call(xp, kb, cu, pair, out_dtype, interpret):
-    n, h, g, le = xp.shape
+def _dw_s1_fwd_call(xp, kb, cu, interpret):
+    n, h, g, l = xp.shape
     tm = _pick_tile(h)
     nbands = h // tm
-    kernel = _make_s1_fwd(tm, g, le, cu, pair, out_dtype, nbands)
+    kernel = _make_s1_fwd(tm, g, l, cu, xp.dtype, nbands)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h, g, le), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h, g, l), xp.dtype),
         grid=(n, nbands),
         in_specs=[
-            _spec((1, tm, g, le), lambda nn, ii: (nn, ii, 0, 0)),
-            _spec((1, 1, g, le),
+            _spec((1, tm, g, l), lambda nn, ii: (nn, ii, 0, 0)),
+            _spec((1, 1, g, l),
                   lambda nn, ii: (nn, jnp.maximum(tm * ii - 1, 0), 0, 0)),
-            _spec((1, 1, g, le),
+            _spec((1, 1, g, l),
                   lambda nn, ii: (nn, jnp.minimum(tm * (ii + 1), h - 1),
                                   0, 0)),
             _spec(kb.shape, lambda nn, ii: (0, 0)),
         ],
-        out_specs=_spec((1, tm, g, le), lambda nn, ii: (nn, ii, 0, 0)),
+        out_specs=_spec((1, tm, g, l), lambda nn, ii: (nn, ii, 0, 0)),
         interpret=interpret,
     )(xp, xp, xp, kb)
 
 
-def _dw_s2_dx_call(dyp, kb, cu, pair, out_dtype, interpret):
-    n, hp, gp, le = dyp.shape
+def _dw_s2_dx_call(dyp, kb, cu, interpret):
+    n, hp, gp, l = dyp.shape
     h, g = hp * 2, gp * 2
     tb = _pick_tile(h, cap=8, step=2)
     nbands = h // tb
-    kernel = _make_s2_bwd_dx(tb, gp, le, cu, pair, out_dtype, g, nbands)
-    dxf = pl.pallas_call(
+    se, so = _parity_selectors(g)
+    selt = jnp.stack([se.T, so.T])          # (2, G, G/2) expansion
+    kernel = _make_s2_bwd_dx(tb, gp, l, cu, dyp.dtype, nbands)
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h * g, le), dyp.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h, g, l), dyp.dtype),
         grid=(n, nbands),
         in_specs=[
-            _spec((1, tb // 2, gp, le), lambda nn, ii: (nn, ii, 0, 0)),
-            _spec((1, 1, gp, le),
+            _spec((1, tb // 2, gp, l), lambda nn, ii: (nn, ii, 0, 0)),
+            _spec((1, 1, gp, l),
                   lambda nn, ii: (nn,
                                   jnp.minimum((tb // 2) * (ii + 1), hp - 1),
                                   0, 0)),
             _spec(kb.shape, lambda nn, ii: (0, 0)),
+            _spec(selt.shape, lambda nn, ii: (0, 0, 0)),
         ],
-        out_specs=_spec((1, tb * g, le), lambda nn, ii: (nn, ii, 0)),
+        out_specs=_spec((1, tb, g, l), lambda nn, ii: (nn, ii, 0, 0)),
         interpret=interpret,
-    )(dyp, dyp, kb)
-    return dxf.reshape(n, h, g, le)
+    )(dyp, dyp, kb, selt)
 
 
-def _dw_s2_dk_call(xp, dyp, cu, pair, interpret):
-    n, h, g, le = xp.shape
-    hp, gp = h // 2, g // 2
+def _dw_s2_dk_call(xp, dyp, cu, interpret):
+    n, h, g, l = xp.shape
+    hp = h // 2
     tm = _pick_tile(hp)
-    kernel = _make_s2_bwd_dk(tm, gp, le, cu, pair)
-    rows = 18 if pair else 9
+    se, so = _parity_selectors(g)
+    sel = jnp.stack([se, so])
+    kernel = _make_s2_bwd_dk(tm, g, l, cu)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((rows, le), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9, l), jnp.float32),
         grid=(n, hp // tm),
         in_specs=[
-            _spec((1, 2 * tm, g, le), lambda nn, ii: (nn, ii, 0, 0)),
-            _spec((1, 1, g, le),
+            _spec((1, 2 * tm, g, l), lambda nn, ii: (nn, ii, 0, 0)),
+            _spec((1, 1, g, l),
                   lambda nn, ii: (nn, jnp.maximum(2 * tm * ii - 1, 0), 0, 0)),
-            _spec((1, tm, gp, le), lambda nn, ii: (nn, ii, 0, 0)),
+            _spec((1, tm, g // 2, l), lambda nn, ii: (nn, ii, 0, 0)),
+            _spec(sel.shape, lambda nn, ii: (0, 0, 0)),
         ],
-        out_specs=_spec((rows, le), lambda nn, ii: (0, 0)),
+        out_specs=_spec((9, l), lambda nn, ii: (0, 0)),
         interpret=interpret,
-    )(xp, xp, dyp)
+    )(xp, xp, dyp, sel)
 
 
-def _dw_s1_dk_call(xp, dyp, cu, pair, interpret):
-    n, h, g, le = xp.shape
+def _dw_s1_dk_call(xp, dyp, cu, interpret):
+    n, h, g, l = xp.shape
     tm = _pick_tile(h)
     nbands = h // tm
-    kernel = _make_s1_bwd_dk(tm, g, le, cu, pair, nbands)
-    rows = 18 if pair else 9
+    kernel = _make_s1_bwd_dk(tm, g, l, cu, nbands)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((rows, le), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9, l), jnp.float32),
         grid=(n, nbands),
         in_specs=[
-            _spec((1, tm, g, le), lambda nn, ii: (nn, ii, 0, 0)),
-            _spec((1, 1, g, le),
+            _spec((1, tm, g, l), lambda nn, ii: (nn, ii, 0, 0)),
+            _spec((1, 1, g, l),
                   lambda nn, ii: (nn, jnp.maximum(tm * ii - 1, 0), 0, 0)),
-            _spec((1, 1, g, le),
+            _spec((1, 1, g, l),
                   lambda nn, ii: (nn, jnp.minimum(tm * (ii + 1), h - 1),
                                   0, 0)),
-            _spec((1, tm, g, le), lambda nn, ii: (nn, ii, 0, 0)),
+            _spec((1, tm, g, l), lambda nn, ii: (nn, ii, 0, 0)),
         ],
-        out_specs=_spec((rows, le), lambda nn, ii: (0, 0)),
+        out_specs=_spec((9, l), lambda nn, ii: (0, 0)),
         interpret=interpret,
     )(xp, xp, xp, dyp)
 
 
-def _fold_dk(dk: jax.Array, c: int, pair: bool, k_dtype) -> jax.Array:
-    if pair:
-        le = dk.shape[-1]
-        p = 2 * le // c
-        d = dk.reshape(9, 2, p, c // 2)          # (tap, parity, m, c2)
-        d = jnp.moveaxis(d, 1, -1)               # (tap, m, c2, parity)
-        return d.sum(axis=1).reshape(3, 3, c).astype(k_dtype)
-    p = dk.shape[-1] // c
-    return dk.reshape(3, 3, p, c).sum(axis=2).astype(k_dtype)
+def _fold_dk(dk9l: jax.Array, c: int, k_dtype) -> jax.Array:
+    p = dk9l.shape[-1] // c
+    return dk9l.reshape(3, 3, p, c).sum(axis=2).astype(k_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -572,14 +522,11 @@ def supports(x_shape, stride: int, dilation: int = 1,
     """Whether the packed kernel handles this depthwise conv."""
     if dilation != 1 or stride not in (1, 2):
         return False
-    n, h, w, c = x_shape
-    pair = jnp.dtype(dtype) == jnp.bfloat16
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
                                 jnp.dtype(jnp.float32)):
         return False
-    if pair and c % 2:
-        return False
-    p = _pack_factor(c, pair)
+    n, h, w, c = x_shape
+    p = pack_factor(c)
     if w % p:
         return False
     if stride == 2:
@@ -589,15 +536,13 @@ def supports(x_shape, stride: int, dilation: int = 1,
 
 def _dw_fwd_impl(x, k33c, stride, interpret):
     c = x.shape[-1]
-    pair = x.dtype == jnp.bfloat16
-    p = _pack_factor(c, pair)
-    kb = _lane_weights(k33c, p, pair)
-    xp, cu = _pack(x, pair)
+    kb = _lane_weights(k33c, pack_factor(c))
+    xp = _pack(x)
     if stride == 2:
-        yp = _dw_s2_fwd_call(xp, kb, cu, pair, xp.dtype, interpret)
+        yp = _dw_s2_fwd_call(xp, kb, c, interpret)
     else:
-        yp = _dw_s1_fwd_call(xp, kb, cu, pair, xp.dtype, interpret)
-    return _unpack(yp, c, pair, x.dtype)
+        yp = _dw_s1_fwd_call(xp, kb, c, interpret)
+    return _unpack(yp, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -612,20 +557,18 @@ def _dw3x3_fwd(x, k33c, stride, interpret):
 def _dw3x3_bwd(stride, interpret, res, dy):
     x, k33c = res
     c = x.shape[-1]
-    pair = x.dtype == jnp.bfloat16
-    p = _pack_factor(c, pair)
-    dyp, cu = _pack(dy, pair)
-    xp, _ = _pack(x, pair)
+    p = pack_factor(c)
+    dyp = _pack(dy)
+    xp = _pack(x)
     if stride == 1:
-        kb_flip = _lane_weights(k33c[::-1, ::-1], p, pair)
-        dxp = _dw_s1_fwd_call(dyp, kb_flip, cu, pair, dyp.dtype, interpret)
-        dk = _dw_s1_dk_call(xp, dyp, cu, pair, interpret)
+        kb_flip = _lane_weights(k33c[::-1, ::-1], p)
+        dxp = _dw_s1_fwd_call(dyp, kb_flip, c, interpret)
+        dk9 = _dw_s1_dk_call(xp, dyp, c, interpret)
     else:
-        kb = _lane_weights(k33c, p, pair)
-        dxp = _dw_s2_dx_call(dyp, kb, cu, pair, dyp.dtype, interpret)
-        dk = _dw_s2_dk_call(xp, dyp, cu, pair, interpret)
-    return (_unpack(dxp, c, pair, x.dtype),
-            _fold_dk(dk, c, pair, k33c.dtype))
+        kb = _lane_weights(k33c, p)
+        dxp = _dw_s2_dx_call(dyp, kb, c, interpret)
+        dk9 = _dw_s2_dk_call(xp, dyp, c, interpret)
+    return _unpack(dxp, c), _fold_dk(dk9, c, k33c.dtype)
 
 
 _dw3x3.defvjp(_dw3x3_fwd, _dw3x3_bwd)
@@ -654,3 +597,27 @@ def depthwise_conv3x3_reference(x: jax.Array, k: jax.Array, *,
         x, k, (stride, stride), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=x.shape[-1])
+
+
+def routing_enabled() -> bool:
+    """Model-level routing predicate (ops.conv.ConvBNAct) — **opt-in**
+    (TPU_SEG_PALLAS_DW=1) after honest model-level measurement.
+
+    Measured on v5e (scripts in /tmp mirrored by docs/FULLRES_ROOFLINE.md):
+    standalone the kernels beat XLA 1.7x fwd / 1.5x fwd+bwd at the ds1
+    shape (14.7 vs 25.5 ms, 24.9 vs 38.4 ms, b32 512x1024x32), but inside
+    the jitted train step routing LOSES (242.7 -> 289.8 ms with ds1 alone
+    routed): XLA assigns exotic internal layouts ({1,3,2,0}-style) to the
+    surrounding tensors and a Mosaic custom call requires default layouts,
+    so XLA inserts ~6.7 GB of relayout copies around the fwd+bwd calls
+    (verified in the optimized HLO: copy.193/194/196/197/270-274). Until
+    custom-call operands can carry layout constraints, in-graph routing is
+    a net loss; the kernels remain correct, tested infrastructure and are
+    a win when the caller controls the boundary layouts."""
+    import os
+    if os.environ.get("TPU_SEG_PALLAS_DW", "0") != "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
