@@ -32,6 +32,14 @@ import tempfile
 import time
 
 import jax
+
+# persistent compile cache: full-res + crop step compiles are ~30 s each;
+# the driver re-runs this script fresh every round
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -42,7 +50,13 @@ REFERENCE_RANGE = (20.0, 45.0)           # sensitivity bounds, see BASELINE.md
 HEIGHT = int(os.environ.get("BENCH_H", "1024"))
 WIDTH = int(os.environ.get("BENCH_W", "2048"))
 CROP_BATCH = int(os.environ.get("BENCH_BATCH", "128"))   # HBM sweet spot (v5e, remat)
-FULL_BATCH = int(os.environ.get("BENCH_FULL_BATCH", "32"))
+# In-harness sweep (aug in graph, donated buffers): b40/remat-off 99.6
+# (bf16 aug intermediates; 95.9 with fp32 aug), b32/remat-on 94.5,
+# b32/remat-off 94.0 img/s; b48+/remat-off OOMs even with bf16 aug and
+# b64/remat-on spills to 40.  The bare-step numbers in
+# docs/FULLRES_ROOFLINE.md (143 at b64) exclude the full-res fused aug,
+# whose buffers shift the HBM sweet spot down to b40.
+FULL_BATCH = int(os.environ.get("BENCH_FULL_BATCH", "40"))
 E2E_BATCH = int(os.environ.get("BENCH_E2E_BATCH", "16"))
 CROP = int(os.environ.get("BENCH_CROP", "1024"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
@@ -50,10 +64,11 @@ FULL_STEPS = int(os.environ.get("BENCH_FULL_STEPS", "10"))
 E2E_STEPS = int(os.environ.get("BENCH_E2E_STEPS", "8"))
 E2E_FILES = int(os.environ.get("BENCH_E2E_FILES", "48"))
 REMAT = bool(int(os.environ.get("BENCH_REMAT", "1")))
+FULL_REMAT = bool(int(os.environ.get("BENCH_FULL_REMAT", "0")))
 MODE = os.environ.get("BENCH_MODE", "all")  # all | crop | fullres | e2e
 
 
-def build_step(crop_hw: tuple[int, int]):
+def build_step(crop_hw: tuple[int, int], remat: bool = REMAT):
     """jit train step: fused aug at `crop_hw` + FastSCNN fwd+bwd+SGD."""
     from torch_semantic_segmentation_tpu.data.transforms import (
         AugmentConfig, augment_batch)
@@ -69,7 +84,7 @@ def build_step(crop_hw: tuple[int, int]):
     tx = OptimizerConfig(lr=0.045, max_steps=1000).make()
     gd_train, _, state = create_train_state(model, tx)
     inner = make_train_step(gd_train, tx, resize_cross_entropy_loss,
-                            jit=False, remat=REMAT)
+                            jit=False, remat=remat)
     aug_cfg = AugmentConfig(crop=crop_hw, out_dtype=jnp.bfloat16)
 
     def step(state, raw_images, raw_labels, key):
@@ -79,9 +94,10 @@ def build_step(crop_hw: tuple[int, int]):
     return jax.jit(step, donate_argnums=(0,)), state
 
 
-def time_resident(crop_hw: tuple[int, int], batch: int, steps: int) -> float:
+def time_resident(crop_hw: tuple[int, int], batch: int, steps: int,
+                  remat: bool = REMAT) -> float:
     """img/s for the compiled step over device-resident uint8 full-res data."""
-    jstep, state = build_step(crop_hw)
+    jstep, state = build_step(crop_hw, remat)
     rng = np.random.default_rng(0)
     raw_images = jnp.asarray(
         rng.integers(0, 256, (batch, HEIGHT, WIDTH, 3), dtype=np.uint8))
@@ -183,7 +199,7 @@ def main():
     fullres = crop1024 = None
     if MODE in ("all", "fullres"):
         fullres = round(time_resident((HEIGHT, WIDTH), FULL_BATCH,
-                                      FULL_STEPS), 2)
+                                      FULL_STEPS, FULL_REMAT), 2)
         out["fullres"] = fullres
     if MODE in ("all", "crop"):
         crop1024 = round(time_resident((CROP, CROP), CROP_BATCH, STEPS), 2)

