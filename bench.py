@@ -138,7 +138,7 @@ def write_e2e_files(root: str, n: int) -> tuple[list[str], list[str]]:
     return imgs, lbls
 
 
-def time_e2e(steps: int) -> dict:
+def time_e2e(steps: int, compute_rate: float | None = None) -> dict:
     """Full pipeline: native decode from disk → prefetch → aug → step."""
     from torch_semantic_segmentation_tpu.data import native_loader
     from torch_semantic_segmentation_tpu.data.cityscapes import (
@@ -184,9 +184,16 @@ def time_e2e(steps: int) -> dict:
         float(metrics["loss"])
         e2e_rate = E2E_BATCH * steps / (time.perf_counter() - t0)
         loader.close()
+        # input_bound: can the input tier feed the compute tier?  Compare
+        # the host decode ceiling against the device-resident step rate
+        # (compute_rate), not against e2e itself — e2e additionally pays
+        # host→device transfer, which on this harness rides a remote
+        # tunnel (and the host has 1 CPU core), so e2e here is a lower
+        # bound for a real TPU-attached host, not a chip property.
         return {"e2e": round(e2e_rate, 2),
                 "loader_only": round(loader_rate, 2),
-                "input_bound": bool(loader_rate < e2e_rate * 1.1)}
+                "input_bound": (bool(loader_rate < compute_rate)
+                                if compute_rate else None)}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -205,14 +212,15 @@ def main():
         crop1024 = round(time_resident((CROP, CROP), CROP_BATCH, STEPS), 2)
         out["crop1024"] = crop1024
     if MODE in ("all", "e2e"):
-        out.update(time_e2e(E2E_STEPS))
+        out.update(time_e2e(E2E_STEPS, compute_rate=fullres))
 
     primary = fullres if fullres is not None else crop1024
-    out["value"] = primary
-    out["vs_baseline"] = round(primary / REFERENCE_V100_IMG_PER_SEC, 3)
-    out["vs_baseline_range"] = [
-        round(primary / REFERENCE_RANGE[1], 2),
-        round(primary / REFERENCE_RANGE[0], 2)]
+    if primary is not None:   # MODE=e2e alone has no step-rate tier
+        out["value"] = primary
+        out["vs_baseline"] = round(primary / REFERENCE_V100_IMG_PER_SEC, 3)
+        out["vs_baseline_range"] = [
+            round(primary / REFERENCE_RANGE[1], 2),
+            round(primary / REFERENCE_RANGE[0], 2)]
     print(json.dumps(out))
 
 
