@@ -14,7 +14,14 @@ from torch_semantic_segmentation_tpu.ops.pallas_dw import (
 
 CASES = [((2, 16, 32, 32), 2), ((2, 16, 32, 32), 1),
          ((1, 8, 64, 48), 2), ((1, 8, 64, 48), 1),
-         ((2, 12, 32, 64), 1), ((1, 6, 32, 16), 2)]
+         ((2, 12, 32, 64), 1), ((1, 6, 32, 16), 2),
+         # pack-factor edge cases (advisor round 2): p=1 (C%128==0) and
+         # p=2 (C=64) exercise the P·ρ parity term of _s2_dx_plan that
+         # the p>=4 shapes above cannot reach.
+         ((1, 4, 8, 128), 2), ((1, 4, 16, 64), 2)]
+
+# stride-2 VJP sweep must include the small-pack-factor cases.
+VJP_CASES = CASES[:4] + CASES[-2:]
 
 # interpret-mode pallas is minutes-slow; keep a smoke pair in the fast
 # tier and the full sweep in the slow tier (pytest.ini tiering).
@@ -55,7 +62,7 @@ def test_dw_forward_fast_smoke(shape, stride):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("shape,stride", CASES[:4])
+@pytest.mark.parametrize("shape,stride", VJP_CASES)
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_dw_vjp_matches_lax(shape, stride, dtype):
     rng = np.random.default_rng(1)

@@ -245,6 +245,16 @@ class ConvBNAct(nnx.Module):
         floor = int(os.environ.get("TPU_SEG_PALLAS_DW_MIN_PX", 1 << 18))
         if x.shape[0] * x.shape[1] * x.shape[2] < floor:
             return None
+        # Dtype parity with the lax path (advisor round 2): nnx.Conv
+        # promotes to the conv's computation dtype (promote(x, kernel)
+        # when dtype=None), while the kernel emits x.dtype. Only route
+        # when the two agree so routed/unrouted graphs feed BN at the
+        # same precision.
+        lax_out_dtype = (jnp.dtype(conv.dtype) if conv.dtype is not None
+                         else jnp.promote_types(x.dtype,
+                                                conv.kernel.value.dtype))
+        if lax_out_dtype != jnp.dtype(x.dtype):
+            return None
         return pallas_dw.depthwise_conv3x3(x, conv.kernel.value,
                                            stride=stride)
 

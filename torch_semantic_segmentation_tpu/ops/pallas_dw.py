@@ -145,15 +145,21 @@ def _s2_tap_plan(p: int):
 
 def _s2_dx_plan(p: int):
     """Backward-dx stride 2: per dx-group parity ρ and position m, the
-    valid (dw, use_next_group, m_src): δ=1-dw with (m+δ) even, and
-    u = (P·ρ+m+δ)/2, carrying to the next dy group when u == P."""
+    valid (dw, use_next_group, m_src): δ=1-dw with (P·ρ+m+δ) even, and
+    u = (P·ρ+m+δ)/2, carrying to the next dy group when u == P.
+
+    The parity condition must include the P·ρ term: for odd P (P=1,
+    i.e. C a multiple of 128) the ρ=1 plan has opposite (m+δ) parity
+    from ρ=0, and omitting it selects the wrong taps (advisor round-2
+    high finding — dx err ~16 at C=128 before the fix, precision noise
+    after; for even P the term is even and the condition is unchanged)."""
     plans = {}
     for rho in range(2):
         terms = []
         for m in range(p):
             for dw in range(3):
                 delta = 1 - dw
-                if (m + delta) % 2:
+                if (p * rho + m + delta) % 2:
                     continue
                 u = (p * rho + m + delta) // 2
                 terms.append((m, dw, u >= p, u % p))
