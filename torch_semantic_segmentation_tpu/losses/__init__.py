@@ -15,11 +15,32 @@ and ignored pixels contribute to neither numerator nor denominator.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import typing as tp
 
 import jax
 import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SegLoss:
+    """First-class per-output segmentation loss with an explicit resize
+    contract (VERDICT r2 next #6 — replaces the `handles_resize`
+    attribute monkeypatched onto CLI lambdas).
+
+    `fn(logits, labels) -> scalar` computes the loss for ONE output head;
+    `handles_resize=True` declares that `fn` upsamples low-res logits to
+    the label grid itself (the fused lane-major `resize_*` losses), so
+    `aux_weighted_loss` must NOT pre-resize mixed-resolution heads.
+    """
+
+    fn: tp.Callable[[jax.Array, jax.Array], jax.Array]
+    handles_resize: bool = False
+    name: str = "loss"
+
+    def __call__(self, logits: jax.Array, labels: jax.Array) -> jax.Array:
+        return self.fn(logits, labels)
 
 
 def _per_pixel_ce(logits: jax.Array, labels: jax.Array, ignore_index: int
@@ -291,6 +312,7 @@ def aux_weighted_loss(
 
 
 __all__ = [
+    "SegLoss",
     "cross_entropy_loss",
     "ohem_cross_entropy",
     "resize_cross_entropy_loss",
