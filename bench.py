@@ -119,23 +119,41 @@ def time_resident(crop_hw: tuple[int, int], batch: int, steps: int,
 
 
 def write_e2e_files(root: str, n: int) -> tuple[list[str], list[str]]:
-    """Synthetic Cityscapes-shaped JPEG/PNG pairs at full resolution."""
+    """Synthetic Cityscapes-shaped JPEG/PNG pairs at full resolution.
+
+    Every file is DISTINCT full-entropy noise (VERDICT r2 next #4: round 2
+    rolled one base image into all files, which let the decoder's caches
+    make `loader_only` optimistic vs real-entropy decode)."""
     import cv2
     rng = np.random.default_rng(0)
     imgs, lbls = [], []
-    # one textured base mutated per file: keeps generation cheap while the
-    # decoder still sees full-entropy JPEG work
-    base = rng.integers(0, 256, (HEIGHT, WIDTH, 3), np.uint8)
-    lbl_base = rng.integers(0, 34, (HEIGHT, WIDTH), np.uint8)
     for i in range(n):
-        img = np.roll(base, 37 * i, axis=1)
+        img = rng.integers(0, 256, (HEIGHT, WIDTH, 3), np.uint8)
+        lbl = rng.integers(0, 34, (HEIGHT, WIDTH), np.uint8)
         ip = os.path.join(root, f"img{i:03d}.jpg")
         lp = os.path.join(root, f"lbl{i:03d}.png")
         cv2.imwrite(ip, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
-        cv2.imwrite(lp, np.roll(lbl_base, 37 * i, axis=1))
+        cv2.imwrite(lp, lbl)
         imgs.append(ip)
         lbls.append(lp)
     return imgs, lbls
+
+
+def measure_h2d_gbps(batch: int = None) -> float:
+    """Measured host→device GB/s for one full-res uint8 batch (device_put +
+    value-fetch sync). Makes the e2e tier self-explaining in the artifact:
+    on this harness H2D rides a remote tunnel, so a low figure here — not
+    the chip or the loader — is what separates `e2e` from `loader_only`."""
+    batch = batch if batch is not None else E2E_BATCH
+    x = np.zeros((batch, HEIGHT, WIDTH, 3), np.uint8)
+    nbytes = x.nbytes
+    d = jax.device_put(x)
+    float(jnp.asarray(d).ravel()[0])  # warmup + sync
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    float(jnp.asarray(d).ravel()[0])
+    dt = time.perf_counter() - t0
+    return nbytes / dt / 1e9
 
 
 def time_e2e(steps: int, compute_rate: float | None = None) -> dict:
@@ -192,6 +210,7 @@ def time_e2e(steps: int, compute_rate: float | None = None) -> dict:
         # bound for a real TPU-attached host, not a chip property.
         return {"e2e": round(e2e_rate, 2),
                 "loader_only": round(loader_rate, 2),
+                "h2d_gbps": round(measure_h2d_gbps(), 3),
                 "input_bound": (bool(loader_rate < compute_rate)
                                 if compute_rate else None)}
     finally:

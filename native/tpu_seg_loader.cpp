@@ -204,6 +204,12 @@ void resize_nearest_u8(const Image& src, uint8_t* dst, int oh, int ow) {
 struct Loader {
   std::vector<std::string> img_paths, lbl_paths;
   int batch, h, w, prefetch;
+  // Multi-host sample slice [slice_lo, slice_hi) of each global batch
+  // (parallel.distributed contract): every process walks the SAME
+  // (seed, epoch)-shuffled global order but decodes only its slice, so
+  // ring slots and outputs hold slice_hi - slice_lo samples while seq
+  // numbering / epoch boundaries stay global.
+  int slice_lo = 0, slice_hi = 0;  // slice_hi == 0 means full batch
   bool shuffle;
   uint8_t lut[256];
   bool has_lut = false;
@@ -266,8 +272,11 @@ void fill_slot(Loader* L, Loader::Slot* slot, size_t batch_seq) {
   const size_t epoch = batch_seq / L->batches_per_epoch;
   const size_t b_in_epoch = batch_seq % L->batches_per_epoch;
   auto order = L->order_for_epoch(epoch);
-  for (int b = 0; b < L->batch; ++b) {
-    size_t idx = (*order)[b_in_epoch * L->batch + b];
+  const int lo = L->slice_lo;
+  const int hi = L->slice_hi ? L->slice_hi : L->batch;
+  for (int bb = lo; bb < hi; ++bb) {
+    const int b = bb - lo;  // local output position
+    size_t idx = (*order)[b_in_epoch * L->batch + bb];
     Image img, lbl;
     if (!decode_file(L->img_paths[idx], &img, 3) || img.c != 3) {
       std::lock_guard<std::mutex> lk(L->mu);
@@ -348,9 +357,14 @@ extern "C" {
 void* loader_create(const char** img_paths, const char** lbl_paths, int n,
                     int batch, int h, int w, int threads, int prefetch,
                     const uint8_t* lut, uint64_t seed, int shuffle,
-                    int epochs, uint64_t start_seq) {
+                    int epochs, uint64_t start_seq, int slice_lo,
+                    int slice_hi) {
   if (n <= 0 || batch <= 0 || prefetch <= 0 || batch > n) return nullptr;
+  if (slice_lo < 0 || slice_hi > batch || (slice_hi && slice_lo >= slice_hi))
+    return nullptr;
   auto* L = new Loader();
+  L->slice_lo = slice_lo;
+  L->slice_hi = slice_hi;
   L->img_paths.assign(img_paths, img_paths + n);
   if (lbl_paths) L->lbl_paths.assign(lbl_paths, lbl_paths + n);
   L->batch = batch;
@@ -370,11 +384,12 @@ void* loader_create(const char** img_paths, const char** lbl_paths, int n,
   // (seed, epoch) seeding makes this exactly the uninterrupted stream
   L->head = start_seq;
   L->total_batches = start_seq;
+  const size_t local = size_t((slice_hi ? slice_hi : batch) - slice_lo);
   L->ring.resize(prefetch);
   L->slot_state.assign(prefetch, 0);
   for (int i = 0; i < prefetch; ++i) {
-    L->ring[i].img.resize(size_t(batch) * h * w * 3);
-    L->ring[i].lbl.resize(L->lbl_paths.empty() ? 0 : size_t(batch) * h * w);
+    L->ring[i].img.resize(local * h * w * 3);
+    L->ring[i].lbl.resize(L->lbl_paths.empty() ? 0 : local * h * w);
   }
   int nthreads = std::max(1, threads);
   for (int i = 0; i < nthreads; ++i)

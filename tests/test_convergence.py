@@ -38,7 +38,9 @@ def _best_miou(capsys) -> float:
 
 
 @pytest.mark.slow
+@pytest.mark.slowest
 def test_enet_converges_on_shapes(tmp_path, capsys):
+    """~14 min on the idle 1-core host."""
     ckpt = _train_shapes("enet", 300, tmp_path)
     miou = _best_miou(capsys)
     assert miou > 70.0, f"ENet best val mIoU {miou:.2f} < 70 after 300 steps"
@@ -47,10 +49,55 @@ def test_enet_converges_on_shapes(tmp_path, capsys):
 
 
 @pytest.mark.slow
+@pytest.mark.slowest
 def test_fastscnn_converges_on_shapes(tmp_path, capsys):
+    """~12 min on the idle 1-core host."""
     _train_shapes("fastscnn", 400, tmp_path)
     miou = _best_miou(capsys)
     assert miou > 70.0, f"FastSCNN best val mIoU {miou:.2f} < 70 after 400 steps"
+
+
+@pytest.mark.slow
+@pytest.mark.slowest
+def test_deeplab_ohem_converges_on_shapes(tmp_path, capsys):
+    """DeepLab-r18 trained THROUGH OHEM selection (VERDICT r2 next #2a;
+    BASELINE config 4 pairs deeplab+OHEM): hard-example mining must not
+    break the gradient path — val mIoU rises well above chance (~15).
+    min_kept=1024 of 8·64·64=32768 batch pixels, so OHEM genuinely
+    selects (it is NOT degenerate plain CE). Calibrated: 85.0 @300 on
+    CPU (threshold 70). ~25 min on the idle 1-core host."""
+    _train_shapes("deeplabv3_resnet18", 300, tmp_path,
+                  extra=["--loss", "ohem", "--ohem-min-kept", "1024"])
+    miou = _best_miou(capsys)
+    assert miou > 70.0, \
+        f"DeepLab-r18+OHEM best val mIoU {miou:.2f} < 70 after 300 steps"
+
+
+@pytest.mark.slow
+@pytest.mark.slowest
+def test_bisenet_aux_converges_on_shapes(tmp_path, capsys):
+    """BiSeNet trained with ACTIVE aux heads (aux_weight 0.4; VERDICT r2
+    next #2b; BASELINE config 5), then multi-scale(+flip) eval on the best
+    checkpoint must not degrade vs single-scale (exercises the value of
+    the multi-scale evaluator, not just its equality plumbing).
+    Calibrated: 97.5 single / 97.8 multi @300 on CPU (threshold 70).
+    ~35 min on the idle 1-core host."""
+    from torch_semantic_segmentation_tpu.cli.eval import main as eval_main
+
+    ckpt = _train_shapes("bisenet", 300, tmp_path,
+                         extra=["--aux-weight", "0.4"])
+    miou = _best_miou(capsys)
+    assert miou > 70.0, \
+        f"BiSeNet(aux) best val mIoU {miou:.2f} < 70 after 300 steps"
+
+    best = os.path.join(ckpt, "best")
+    common = ["--dataset", "shapes", "--model", "bisenet",
+              "--batch-size", "8", "--checkpoint", best, "--max-batches", "4"]
+    _, ss = eval_main(common)
+    _, ms = eval_main(common + ["--multi-scale",
+                                "--scales", "0.75", "1.0", "1.25"])
+    assert ms >= ss - 0.02, \
+        f"multi-scale eval {100 * ms:.2f} degraded vs single {100 * ss:.2f}"
 
 
 @pytest.mark.slow

@@ -1,0 +1,101 @@
+"""Parity of the whole-LDS W-packed region (ops/packed_lds.py) against
+the standard NHWC LearningToDownsample path: forward values, BN
+running-stat updates, and gradients must match at fp32 (float
+reassociation tolerance only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from torch_semantic_segmentation_tpu.models.fastscnn import (
+    LearningToDownsample)
+from torch_semantic_segmentation_tpu.ops import packed_lds
+
+
+def _lds():
+    return LearningToDownsample(3, (32, 48, 64), rngs=nnx.Rngs(0))
+
+
+def _x(n=2, h=64, w=64):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(n, h, w, 3)).astype(np.float32))
+
+
+def test_supports_divisibility():
+    assert packed_lds.supports((1, 64, 64, 3))
+    assert packed_lds.supports((1, 1024, 2048, 3))
+    assert not packed_lds.supports((1, 64, 48, 3))
+
+
+def test_forward_parity_and_bn_stats():
+    x = _x()
+    ref_m, pk_m = _lds(), _lds()
+    ref = ref_m.ds2(ref_m.ds1(ref_m.conv(x)))
+    got = packed_lds.lds_forward(pk_m, x)
+    assert got.shape == ref.shape == (2, 8, 8, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # the packed path updated the same BatchNorm running stats
+    for name in ("conv", "ds1", "ds2"):
+        r, p = getattr(ref_m, name), getattr(pk_m, name)
+        bns = ([r.bn], [p.bn]) if name == "conv" else (
+            [r.dw.bn, r.pw.bn], [p.dw.bn, p.pw.bn])
+        for rb, pb in zip(*bns):
+            np.testing.assert_allclose(np.asarray(pb.mean[...]),
+                                       np.asarray(rb.mean[...]),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(pb.var[...]),
+                                       np.asarray(rb.var[...]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_eval_mode_parity():
+    x = _x()
+    ref_m, pk_m = _lds(), _lds()
+    # push some stats first so eval normalizes with non-initial stats
+    ref_m.ds2(ref_m.ds1(ref_m.conv(x)))
+    packed_lds.lds_forward(pk_m, x)
+    ref_m.eval()
+    pk_m.eval()
+    ref = ref_m.ds2(ref_m.ds1(ref_m.conv(x)))
+    got = packed_lds.lds_forward(pk_m, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradient_parity():
+    x = _x()
+
+    def loss(graphdef, state, x, packed):
+        m = nnx.merge(graphdef, state)
+        y = (packed_lds.lds_forward(m, x) if packed
+             else m.ds2(m.ds1(m.conv(x))))
+        return jnp.sum(y * y)
+
+    m = _lds()
+    graphdef, state = nnx.split(m)
+    g_ref = jax.grad(loss, argnums=1)(graphdef, state, x, False)
+    g_pk = jax.grad(loss, argnums=1)(graphdef, state, x, True)
+    ref_leaves = jax.tree.leaves_with_path(g_ref)
+    pk_leaves = dict(jax.tree.leaves_with_path(g_pk))
+    assert ref_leaves
+    for path, leaf in ref_leaves:
+        other = pk_leaves[path]
+        np.testing.assert_allclose(
+            np.asarray(other), np.asarray(leaf), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_model_routing_env_flag(monkeypatch):
+    from torch_semantic_segmentation_tpu.models.fastscnn import fastscnn
+    x = _x(1, 64, 64)
+    m = fastscnn(7, rngs=nnx.Rngs(1))
+    monkeypatch.setenv("FASTSCNN_PACKED_LDS", "0")
+    ref = m(x)
+    m2 = fastscnn(7, rngs=nnx.Rngs(1))
+    monkeypatch.setenv("FASTSCNN_PACKED_LDS", "1")
+    got = m2(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)

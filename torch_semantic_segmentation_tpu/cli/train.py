@@ -73,6 +73,16 @@ def parse_args(argv=None):
                         "checkpoint in <checkpoint-dir>/best")
     p.add_argument("--eval-batches", type=int, default=None,
                    help="cap the number of val batches per in-training eval")
+    p.add_argument("--eval-multi-scale", action="store_true",
+                   help="use multi-scale(+flip) inference for the "
+                        "in-training --eval-every validation / best-ckpt "
+                        "selection (BASELINE config 5 pairs multi-scale "
+                        "eval with the aux-head models)")
+    p.add_argument("--eval-scales", type=float, nargs="+",
+                   default=[0.75, 1.0, 1.25],
+                   help="scale set for --eval-multi-scale (in-training "
+                        "default is narrower than the eval CLI's six-scale "
+                        "set to bound validation cost)")
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in --checkpoint-dir")
     p.add_argument("--log-every", type=int, default=50)
@@ -244,15 +254,13 @@ def _run(args, preempted):
     # the stream bit-identical to an uninterrupted run (the restored
     # data_key continues the augmentation randomness the same way)
     if dist is not None and dist.is_multiprocess():
-        if args.native_loader:
-            raise NotImplementedError(
-                "--native-loader under --multihost: the C++ loader has no "
-                "per-process sample_slice yet; use the Python loader")
         # each process decodes 1/num_hosts of every deterministic global
-        # batch and contributes its shard of the global jax.Array
+        # batch (via the C++ loader when --native-loader) and contributes
+        # its shard of the global jax.Array
         dev = dist.local_batch_iterator(
             bundle.dataset, args.batch_size, mesh=mesh, seed=args.seed,
-            label_lut=bundle.label_lut, start_batch=start_step)
+            label_lut=bundle.label_lut, start_batch=start_step,
+            native=args.native_loader)
     elif args.native_loader:
         from torch_semantic_segmentation_tpu.data.native_loader import (
             native_batch_iterator)
@@ -286,8 +294,16 @@ def _run(args, preempted):
         val_bundle = build_dataset(
             args.dataset, args.dataset_dir, "val",
             synthetic_size=(max(args.batch_size * 2, 8), crop[0], crop[1]))
-        ev = make_eval_step(gd_eval, num_classes=val_bundle.num_classes,
-                            ignore_index=val_bundle.ignore_index)
+        if args.eval_multi_scale:
+            from torch_semantic_segmentation_tpu.eval import (
+                make_multiscale_eval_step)
+            ev = make_multiscale_eval_step(
+                gd_eval, num_classes=val_bundle.num_classes,
+                scales=tuple(args.eval_scales), flip=True,
+                ignore_index=val_bundle.ignore_index)
+        else:
+            ev = make_eval_step(gd_eval, num_classes=val_bundle.num_classes,
+                                ignore_index=val_bundle.ignore_index)
         if args.checkpoint_dir:
             import os
             from torch_semantic_segmentation_tpu.checkpoint import (
@@ -317,10 +333,10 @@ def _run(args, preempted):
                                            std=val_bundle.std)
                     yield imgs, jnp.asarray(lbls, jnp.int32)
 
-            _, miou, _ = evaluate(ev, state.params, state.rest,
-                                  val_batches(),
-                                  num_classes=val_bundle.num_classes)
-            return float(miou)
+            iou, miou, _ = evaluate(ev, state.params, state.rest,
+                                    val_batches(),
+                                    num_classes=val_bundle.num_classes)
+            return np.asarray(iou, np.float64), float(miou)
 
     t0 = time.perf_counter()
     imgs_done = 0
@@ -347,7 +363,7 @@ def _run(args, preempted):
         if run_validation is not None and (
                 (it + 1) % args.eval_every == 0
                 or it + 1 == args.max_iterations):
-            miou = run_validation(state)
+            iou, miou = run_validation(state)
             marker = ""
             if miou > best_miou:
                 best_miou = miou
@@ -355,9 +371,21 @@ def _run(args, preempted):
                 if best_mgr is not None:
                     best_mgr.save(it + 1, state, data_key=data_key,
                                   force=True)
-            print(f"it {it + 1} val mIoU {100 * miou:.2f}{marker}")
+            # per-class observability (SURVEY.md §5 metrics row: "val mIoU
+            # per-class + mean"): worst classes on the console, full table
+            # as val/iou/<class> TensorBoard scalars
+            names = val_bundle.class_names
+            worst = np.argsort(iou)[:3]
+            worst_str = " ".join(
+                f"{names[c]}={100 * iou[c]:.1f}" for c in worst)
+            print(f"it {it + 1} val mIoU {100 * miou:.2f}{marker} "
+                  f"worst: {worst_str}")
             if writer is not None:
-                writer.write_scalars(it + 1, {"val/miou": miou})
+                writer.write_scalars(it + 1, {
+                    "val/miou": miou,
+                    **{f"val/iou/{names[c]}": float(iou[c])
+                       for c in range(len(names))},
+                })
         # capture the flag BEFORE the save so a signal landing mid-save is
         # handled next iteration rather than skipping the forced checkpoint
         stopping = preempted["flag"]

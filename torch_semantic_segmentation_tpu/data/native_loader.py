@@ -42,7 +42,7 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
-        ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
     ]
     lib.loader_next.restype = ctypes.c_int
     lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -93,11 +93,19 @@ class NativeBatchLoader:
                  num_threads: int = 4, prefetch: int = 3,
                  label_lut: np.ndarray | None = None, seed: int = 0,
                  shuffle: bool = True, epochs: int = 0,
-                 start_batch: int = 0):
+                 start_batch: int = 0,
+                 sample_slice: tuple[int, int] | None = None):
         lib = _load_lib()
         n = len(image_paths)
         if label_paths is not None and len(label_paths) != n:
             raise ValueError("image/label path count mismatch")
+        # multi-host contract (parallel.distributed.local_shard_range):
+        # walk the full deterministic global order but decode + emit only
+        # samples [lo, hi) of each global batch
+        lo, hi = sample_slice if sample_slice is not None else (0, batch_size)
+        if not 0 <= lo < hi <= batch_size:
+            raise ValueError(f"bad sample_slice {sample_slice} for batch "
+                             f"{batch_size}")
         self._imgs = (ctypes.c_char_p * n)(*[p.encode() for p in image_paths])
         self._lbls = ((ctypes.c_char_p * n)(*[p.encode() for p in label_paths])
                       if label_paths is not None else None)
@@ -106,11 +114,11 @@ class NativeBatchLoader:
         self._handle = lib.loader_create(
             self._imgs, self._lbls, n, batch_size, height, width,
             num_threads, prefetch, lut_buf, seed, int(shuffle), epochs,
-            start_batch)
+            start_batch, lo, hi)
         if not self._handle:
             raise RuntimeError("loader_create failed")
         self._lib = lib
-        self._shape = (batch_size, height, width)
+        self._shape = (hi - lo, height, width)
         self._has_labels = label_paths is not None
 
     def __iter__(self):
@@ -144,7 +152,8 @@ def native_batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
                           label_lut: np.ndarray | None = None,
                           height: int | None = None,
                           width: int | None = None,
-                          start_batch: int = 0):
+                          start_batch: int = 0,
+                          sample_slice: tuple[int, int] | None = None):
     """Drop-in for `pipeline.batch_iterator` over path-pair datasets
     (Cityscapes/CamVid/BDD/Mapillary expose image_paths/label_paths).
     Probes the first image for H×W when not given."""
@@ -158,4 +167,5 @@ def native_batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
     return NativeBatchLoader(paths, lbls, batch_size, height, width,
                              num_threads=num_threads, prefetch=prefetch,
                              label_lut=label_lut, seed=seed, shuffle=shuffle,
-                             epochs=epochs, start_batch=start_batch)
+                             epochs=epochs, start_batch=start_batch,
+                             sample_slice=sample_slice)

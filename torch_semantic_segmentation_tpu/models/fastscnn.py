@@ -52,6 +52,11 @@ class LearningToDownsample(nnx.Module):
         self.ds2 = SeparableConv(c2, c3, 3, stride=2, **kw)
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        from torch_semantic_segmentation_tpu.ops import packed_lds
+        if packed_lds.enabled() and packed_lds.supports(x.shape):
+            # Whole-LDS W-packed region (ops/packed_lds.py): same params
+            # and BN state, ~8× fewer HBM bytes on TPU lane-padded layouts
+            return packed_lds.lds_forward(self, x)
         return self.ds2(self.ds1(self.conv(x)))
 
 

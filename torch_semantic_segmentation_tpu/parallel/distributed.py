@@ -105,6 +105,7 @@ def local_batch_iterator(
     mesh: jax.sharding.Mesh,
     label_lut: np.ndarray | None = None,
     start_batch: int = 0,
+    native: bool = False,
     **loader_kwargs,
 ):
     """Multi-host input pipeline: every process decodes its slice of each
@@ -114,12 +115,26 @@ def local_batch_iterator(
     over the mesh's 'data' axis. The underlying per-process decode uses the
     same (seed, epoch)-keyed order on every host, so resume/fast-forward
     semantics match the single-process batch_iterator exactly.
-    """
-    from torch_semantic_segmentation_tpu.data.pipeline import batch_iterator
 
+    `native=True` routes the per-process decode through the C++ loader
+    (data.native_loader) instead of the Python thread pool — same
+    sample-slice contract, same deterministic (seed, epoch) stream as the
+    single-process native loader (the shuffled order differs from the
+    Python loader's, but is identical across processes and across restarts
+    for a given seed).
+    """
     lo, hi = local_shard_range(global_batch)
-    host = batch_iterator(dataset, global_batch, label_lut=label_lut,
-                          start_batch=start_batch,
-                          sample_slice=(lo, hi), **loader_kwargs)
+    if native:
+        from torch_semantic_segmentation_tpu.data.native_loader import (
+            native_batch_iterator)
+        host = native_batch_iterator(
+            dataset, global_batch, label_lut=label_lut,
+            start_batch=start_batch, sample_slice=(lo, hi), **loader_kwargs)
+    else:
+        from torch_semantic_segmentation_tpu.data.pipeline import (
+            batch_iterator)
+        host = batch_iterator(dataset, global_batch, label_lut=label_lut,
+                              start_batch=start_batch,
+                              sample_slice=(lo, hi), **loader_kwargs)
     for images, labels in host:
         yield global_batch_from_local((images, labels), mesh)
