@@ -46,6 +46,7 @@ from flax import nnx
 
 REFERENCE_V100_IMG_PER_SEC = 30.0        # estimated; see BASELINE.md
 REFERENCE_RANGE = (20.0, 45.0)           # sensitivity bounds, see BASELINE.md
+HBM_PEAK_GBPS = 819.0                    # v5e pin bandwidth (public spec)
 
 HEIGHT = int(os.environ.get("BENCH_H", "1024"))
 WIDTH = int(os.environ.get("BENCH_W", "2048"))
@@ -95,8 +96,14 @@ def build_step(crop_hw: tuple[int, int], remat: bool = REMAT):
 
 
 def time_resident(crop_hw: tuple[int, int], batch: int, steps: int,
-                  remat: bool = REMAT) -> float:
-    """img/s for the compiled step over device-resident uint8 full-res data."""
+                  remat: bool = REMAT,
+                  roofline: dict | None = None) -> float:
+    """img/s for the compiled step over device-resident uint8 full-res data.
+
+    When `roofline` is a dict, it is filled with the HBM ceiling case
+    (VERDICT r2 next #1 "done" clause): compiled `bytes_per_step`
+    (XLA cost analysis), measured `achieved_gbps`, and
+    `hbm_roofline_frac` vs the chip's pin bandwidth."""
     jstep, state = build_step(crop_hw, remat)
     rng = np.random.default_rng(0)
     raw_images = jnp.asarray(
@@ -115,7 +122,19 @@ def time_resident(crop_hw: tuple[int, int], batch: int, steps: int,
         key, sub = jax.random.split(key)
         state, metrics = jstep(state, raw_images, raw_labels, sub)
     float(metrics["loss"])   # drains the chained steps
-    return batch * steps / (time.perf_counter() - t0)
+    dt_step = (time.perf_counter() - t0) / steps
+    if roofline is not None:
+        try:
+            ca = jstep.lower(state, raw_images, raw_labels, key
+                             ).compile().cost_analysis() or {}
+            gb = float(ca.get("bytes accessed", 0.0)) / 1e9
+            roofline["bytes_per_step_gb"] = round(gb, 2)
+            roofline["achieved_gbps"] = round(gb / dt_step, 1)
+            roofline["hbm_roofline_frac"] = round(
+                gb / dt_step / HBM_PEAK_GBPS, 3)
+        except Exception as e:      # cost analysis is best-effort
+            roofline["error"] = f"{type(e).__name__}: {e}"
+    return batch / dt_step
 
 
 def write_e2e_files(root: str, n: int) -> tuple[list[str], list[str]]:
@@ -224,9 +243,12 @@ def main():
     }
     fullres = crop1024 = None
     if MODE in ("all", "fullres"):
+        roofline: dict = {}
         fullres = round(time_resident((HEIGHT, WIDTH), FULL_BATCH,
-                                      FULL_STEPS, FULL_REMAT), 2)
+                                      FULL_STEPS, FULL_REMAT,
+                                      roofline=roofline), 2)
         out["fullres"] = fullres
+        out.update(roofline)
     if MODE in ("all", "crop"):
         crop1024 = round(time_resident((CROP, CROP), CROP_BATCH, STEPS), 2)
         out["crop1024"] = crop1024
