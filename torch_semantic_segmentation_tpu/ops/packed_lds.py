@@ -49,11 +49,23 @@ import jax.numpy as jnp
 import numpy as np
 from flax.nnx.nn import normalization as _fnorm
 
-# (P_in, P_out) per layer; P_in = 2*P_out is forced by the W-stride of 2.
-# Lane widths: stem 64·3=192 in / 32·32=1024 out; ds1 8·32=256/4·48=192;
-# ds2 8·48=384/4·64=256. Repacks between layers are pure reshapes.
-STEM_PACK = (64, 32)
-DS_PACK = (8, 4)
+# One chain parameter p1 derives every pack factor: stem (2·p1 → p1),
+# ds1 dw (p1 → p1/2), ds1 pw (p1/2), ds2 dw (p1/2 → p1/4), ds2 pw (p1/4)
+# — P_in = 2·P_out is forced by each layer's W-stride of 2, and chaining
+# them consistently means NO repack reshapes between layers (HLO showed
+# each repack boundary costs a real relayout copy AND doubles that
+# activation's fwd+bwd read/write lifecycle). With p1=8 the packed W
+# count is CONSTANT (W/16) through the whole region and lane widths are
+# 48 (stem in, padded to 128), 256, 128, 192, 192, 96 (padded), 128.
+DEFAULT_P1 = 8
+
+
+def chain_packs(p1: int | None = None) -> tuple:
+    if p1 is None:
+        p1 = int(os.environ.get("FASTSCNN_PACKED_P1", DEFAULT_P1))
+    if p1 % 4:
+        raise ValueError(f"p1 must be a multiple of 4, got {p1}")
+    return (2 * p1, p1), (p1, p1 // 2), (p1 // 2, p1 // 4)
 
 
 def pack(x: jax.Array, p: int) -> jax.Array:
@@ -197,39 +209,40 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def supports(x_shape: tuple) -> bool:
-    """W must survive the per-layer pack divisibility: stem consumes W in
-    packs of 64, ds1 W/2 in packs of 8, ds2 W/4 in packs of 8."""
-    w = x_shape[2]
-    return w % (STEM_PACK[0]) == 0 and (w // 2) % DS_PACK[0] == 0 and (
-        w // 4) % DS_PACK[0] == 0
+def supports(x_shape: tuple, p1: int | None = None) -> bool:
+    """W must divide by the stem's input pack (2·p1; every later layer's
+    divisibility follows because Wp stays constant down the chain)."""
+    (stem_in, _), _, _ = chain_packs(p1)
+    return x_shape[2] % stem_in == 0
 
 
-def lds_forward(lds, x: jax.Array) -> jax.Array:
+def lds_forward(lds, x: jax.Array, p1: int | None = None) -> jax.Array:
     """Packed-layout forward of models.fastscnn.LearningToDownsample,
     using its exact parameters/BN state. Returns NHWC (N, H/8, W/8, 64)."""
     relu = jax.nn.relu
+    stem_pack, ds1_pack, ds2_pack = chain_packs(p1)
 
     # stem: conv 3→32 s2 + BN + ReLU
     conv = lds.conv.conv
     c1 = conv.out_features
     pk = _scatter_kernel(conv.kernel[...], conv.in_features, c1,
-                         STEM_PACK[1], depthwise=False)
-    xp = pack(x, STEM_PACK[0])
+                         stem_pack[1], depthwise=False)
+    xp = pack(x, stem_pack[0])
     xp, pk = _conv_compute(conv, xp, pk)
     y = packed_conv_s2(xp, pk)
     y = relu(packed_batchnorm(lds.conv.bn, y, c1))
 
-    for sep in (lds.ds1, lds.ds2):
+    for sep, (p_in, p_out) in ((lds.ds1, ds1_pack), (lds.ds2, ds2_pack)):
         dw, pw = sep.dw.conv, sep.pw.conv
         c_in, c_out = pw.in_features, pw.out_features
-        y = repack(y, c_in, DS_PACK[0])
-        pk_dw = _scatter_kernel(dw.kernel[...], c_in, c_in, DS_PACK[1],
+        if y.shape[-1] != p_in * c_in:     # chain-consistent: no-op
+            y = repack(y, c_in, p_in)
+        pk_dw = _scatter_kernel(dw.kernel[...], c_in, c_in, p_out,
                                 depthwise=True)
         yd, pk_dw = _conv_compute(dw, y, pk_dw)
         y = packed_conv_s2(yd, pk_dw)
         y = relu(packed_batchnorm(sep.dw.bn, y, c_in))
-        pk_pw = _block_diag_kernel(pw.kernel[...], DS_PACK[1])
+        pk_pw = _block_diag_kernel(pw.kernel[...], p_out)
         yp, pk_pw = _conv_compute(pw, y, pk_pw)
         y = packed_conv_1x1(yp, pk_pw)
         y = relu(packed_batchnorm(sep.pw.bn, y, c_out))

@@ -129,12 +129,19 @@ def resize_bilinear_nhcw(x: jax.Array, size: tuple[int, int], *,
         return jnp.transpose(x, (0, 1, 3, 2)).astype(out_dtype)
     prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
+    # bf16 inputs accumulate at bf16: the interp matrices are 2-hot, so at
+    # most two terms ever sum, and forcing f32 accumulation makes XLA
+    # MATERIALIZE the f32 einsum output before the out_dtype cast — at
+    # full res that is a 6.4 GB write + convert pass per step (measured,
+    # scripts/diag_head_hlo.py). fp32 inputs keep exact f32 accumulation
+    # (the resize_bilinear-parity contract).
+    acc = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     ww = jnp.asarray(_interp_matrix(w, ow, align_corners), x.dtype)
     wh = jnp.asarray(_interp_matrix(h, oh, align_corners), x.dtype)
     y = jnp.einsum("nhwc,kw->nhck", x, ww, precision=prec,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+                   preferred_element_type=acc).astype(x.dtype)
     return jnp.einsum("nhck,oh->nock", y, wh, precision=prec,
-                      preferred_element_type=jnp.float32
+                      preferred_element_type=acc
                       ).astype(out_dtype)           # (N, OH, C, OW)
 
 
