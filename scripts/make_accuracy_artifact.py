@@ -1,0 +1,94 @@
+"""On-chip accuracy artifact (VERDICT r2 next #10): train FastSCNN on the
+learnable ShapesDataset ON THE REAL TPU via the actual train CLI
+(--eval-every best-checkpoint path) and write ACCURACY_r<N>.json with the
+eval curve so the accuracy half of the contract has a driver-checkable
+artifact like BENCH does.
+
+Usage: python scripts/make_accuracy_artifact.py [round] [steps]
+"""
+
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+RND = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+
+
+class Tee:
+    def __init__(self, stream):
+        self.stream = stream
+        self.lines = []
+
+    def write(self, s):
+        self.stream.write(s)
+        self.lines.append(s)
+
+    def flush(self):
+        self.stream.flush()
+
+
+def main():
+    from torch_semantic_segmentation_tpu.cli.train import main as train
+
+    tee = Tee(sys.stdout)
+    old = sys.stdout
+    sys.stdout = tee
+    ckpt = tempfile.mkdtemp(prefix="acc_artifact_")
+    try:
+        train(["--dataset", "shapes", "--model", "fastscnn",
+               "--batch-size", "8", "--crop-size", "128",
+               "--scale-range", "0.75", "1.25", "--lr", "0.05",
+               "--max-iterations", str(STEPS),
+               "--eval-every", "100", "--eval-batches", "4",
+               "--log-every", "100", "--checkpoint-dir", ckpt,
+               "--checkpoint-every", str(STEPS)])
+    finally:
+        sys.stdout = old
+    out = "".join(tee.lines)
+    curve = []
+    for m in re.finditer(r"it (\d+) val mIoU ([\d.]+)", out):
+        curve.append({"step": int(m.group(1)),
+                      "val_miou": float(m.group(2))})
+    best = max((p["val_miou"] for p in curve), default=None)
+    artifact = {
+        "model": "fastscnn",
+        "dataset": "shapes (data/synthetic.py ShapesDataset, disjoint "
+                   "train/val seeds)",
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "steps": STEPS,
+        "crop": 128,
+        "batch": 8,
+        "packed_lds": (os.environ.get("FASTSCNN_PACKED_LDS")
+                       or ("default:on" if jax.default_backend() == "tpu"
+                           else "default:off")),
+        "eval_curve": curve,
+        "best_val_miou": best,
+        "threshold": 70.0,
+        "passed": bool(best is not None and best > 70.0),
+        "command": ("python -m torch_semantic_segmentation_tpu.cli.train "
+                    f"--dataset shapes --model fastscnn --batch-size 8 "
+                    f"--crop-size 128 --scale-range 0.75 1.25 --lr 0.05 "
+                    f"--max-iterations {STEPS} --eval-every 100 "
+                    "--eval-batches 4"),
+    }
+    path = f"/root/repo/ACCURACY_r{RND:02d}.json"
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {path}: best val mIoU {best}")
+
+
+if __name__ == "__main__":
+    main()

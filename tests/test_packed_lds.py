@@ -90,6 +90,25 @@ def test_gradient_parity():
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_folded_bn_serving_parity():
+    """The serving path folds BN into conv kernel/bias (ops.fold) and sets
+    bn=None — the packed region must then apply the folded bias P-tiled
+    (regression: round-3 inference bench crashed on bn=None)."""
+    from torch_semantic_segmentation_tpu.ops.fold import fold_batchnorm
+
+    x = _x()
+    m = _lds()
+    # settle stats, then fold for serving
+    m.ds2(m.ds1(m.conv(x)))
+    m.eval()
+    fold_batchnorm(m)
+    assert m.conv.bn is None and m.conv.conv.bias is not None
+    ref = m.ds2(m.ds1(m.conv(x)))
+    got = packed_lds.lds_forward(m, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_model_routing_env_flag(monkeypatch):
     from torch_semantic_segmentation_tpu.models.fastscnn import fastscnn
     x = _x(1, 64, 64)

@@ -222,6 +222,15 @@ def lds_forward(lds, x: jax.Array, p1: int | None = None) -> jax.Array:
     relu = jax.nn.relu
     stem_pack, ds1_pack, ds2_pack = chain_packs(p1)
 
+    def bn_act(cba, y, c, p):
+        # folded-BN serving path (ops.fold): bn is None and the conv
+        # carries the folded bias — apply it P-tiled in packed layout
+        if cba.conv.bias is not None:
+            y = y + jnp.tile(cba.conv.bias[...], p).astype(y.dtype)
+        if cba.bn is not None:
+            y = packed_batchnorm(cba.bn, y, c)
+        return relu(y)
+
     # stem: conv 3→32 s2 + BN + ReLU
     conv = lds.conv.conv
     c1 = conv.out_features
@@ -230,7 +239,7 @@ def lds_forward(lds, x: jax.Array, p1: int | None = None) -> jax.Array:
     xp = pack(x, stem_pack[0])
     xp, pk = _conv_compute(conv, xp, pk)
     y = packed_conv_s2(xp, pk)
-    y = relu(packed_batchnorm(lds.conv.bn, y, c1))
+    y = bn_act(lds.conv, y, c1, stem_pack[1])
 
     for sep, (p_in, p_out) in ((lds.ds1, ds1_pack), (lds.ds2, ds2_pack)):
         dw, pw = sep.dw.conv, sep.pw.conv
@@ -241,9 +250,9 @@ def lds_forward(lds, x: jax.Array, p1: int | None = None) -> jax.Array:
                                 depthwise=True)
         yd, pk_dw = _conv_compute(dw, y, pk_dw)
         y = packed_conv_s2(yd, pk_dw)
-        y = relu(packed_batchnorm(sep.dw.bn, y, c_in))
+        y = bn_act(sep.dw, y, c_in, p_out)
         pk_pw = _block_diag_kernel(pw.kernel[...], p_out)
         yp, pk_pw = _conv_compute(pw, y, pk_pw)
         y = packed_conv_1x1(yp, pk_pw)
-        y = relu(packed_batchnorm(sep.pw.bn, y, c_out))
+        y = bn_act(sep.pw, y, c_out, p_out)
     return unpack(y, lds.ds2.pw.conv.out_features)
