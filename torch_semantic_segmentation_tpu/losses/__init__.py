@@ -188,8 +188,19 @@ def resize_cross_entropy_loss(
     emitting the resize einsums as 'n h c w' puts W (≥1024) in the lanes
     instead. Measured ~4× on the FastSCNN classifier+loss tail.
     """
+    from torch_semantic_segmentation_tpu.ops import pallas_resize_ce
     from torch_semantic_segmentation_tpu.ops.upsample import (
         resize_bilinear_nhcw)
+
+    # single-chip TPU: the whole resize+CE chain runs as one Pallas kernel
+    # whose full-res intermediates never leave VMEM (~22 GB/step less HBM
+    # traffic at the bench shape; ops/pallas_resize_ce.py)
+    if (pallas_resize_ce.enabled()
+            and pallas_resize_ce.supports(logits.shape, labels.shape,
+                                          logits.dtype, ignore_index)):
+        return pallas_resize_ce.resize_cross_entropy(
+            logits, labels, class_weights,
+            align_corners=align_corners, ignore_index=ignore_index)
 
     c = logits.shape[-1]
     oh, ow = labels.shape[1], labels.shape[2]
