@@ -39,7 +39,8 @@ class Tee:
         self.stream.flush()
 
 
-def main():
+def _train_run(extra=()):
+    """One CLI training run; returns the parsed eval curve."""
     from torch_semantic_segmentation_tpu.cli.train import main as train
 
     tee = Tee(sys.stdout)
@@ -53,15 +54,39 @@ def main():
                "--max-iterations", str(STEPS),
                "--eval-every", "100", "--eval-batches", "4",
                "--log-every", "100", "--checkpoint-dir", ckpt,
-               "--checkpoint-every", str(STEPS)])
+               "--checkpoint-every", str(STEPS), *extra])
     finally:
         sys.stdout = old
     out = "".join(tee.lines)
-    curve = []
-    for m in re.finditer(r"it (\d+) val mIoU ([\d.]+)", out):
-        curve.append({"step": int(m.group(1)),
-                      "val_miou": float(m.group(2))})
-    best = max((p["val_miou"] for p in curve), default=None)
+    return [{"step": int(m.group(1)), "val_miou": float(m.group(2))}
+            for m in re.finditer(r"it (\d+) val mIoU ([\d.]+)", out)]
+
+
+def main():
+    base_cmd = ("python -m torch_semantic_segmentation_tpu.cli.train "
+                "--dataset shapes --model fastscnn --batch-size 8 "
+                "--crop-size 128 --scale-range 0.75 1.25 --lr 0.05 "
+                f"--max-iterations {STEPS} --eval-every 100 "
+                "--eval-batches 4")
+    # run 1: the default path (in-model ×8 upsample, plain CE)
+    # run 2: --fused-resize-loss — upsample_logits=False + resize-CE,
+    # which on single-device TPU at crop 128 routes the fused Pallas
+    # resize+CE kernel (ops/pallas_resize_ce.py): proves the kernel
+    # trains a model to accuracy, not merely matches the XLA loss
+    runs = []
+    for name, extra in (("default", ()),
+                        ("fused_resize_pallas_ce", ("--fused-resize-loss",))):
+        curve = _train_run(extra)
+        best = max((p["val_miou"] for p in curve), default=None)
+        runs.append({
+            "run": name,
+            "flags": list(extra),
+            "eval_curve": curve,
+            "best_val_miou": best,
+            "passed": bool(best is not None and best > 70.0),
+        })
+        print(f"[{name}] best val mIoU {best}")
+    best = runs[0]["best_val_miou"]
     artifact = {
         "model": "fastscnn",
         "dataset": "shapes (data/synthetic.py ShapesDataset, disjoint "
@@ -74,20 +99,18 @@ def main():
         "packed_lds": (os.environ.get("FASTSCNN_PACKED_LDS")
                        or ("default:on" if jax.default_backend() == "tpu"
                            else "default:off")),
-        "eval_curve": curve,
+        "eval_curve": runs[0]["eval_curve"],
         "best_val_miou": best,
         "threshold": 70.0,
-        "passed": bool(best is not None and best > 70.0),
-        "command": ("python -m torch_semantic_segmentation_tpu.cli.train "
-                    f"--dataset shapes --model fastscnn --batch-size 8 "
-                    f"--crop-size 128 --scale-range 0.75 1.25 --lr 0.05 "
-                    f"--max-iterations {STEPS} --eval-every 100 "
-                    "--eval-batches 4"),
+        "passed": all(r["passed"] for r in runs),
+        "runs": runs,
+        "command": base_cmd + "  [and + --fused-resize-loss]",
     }
     path = f"/root/repo/ACCURACY_r{RND:02d}.json"
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1)
-    print(f"wrote {path}: best val mIoU {best}")
+    print(f"wrote {path}: " + "; ".join(
+        f"{r['run']} best {r['best_val_miou']}" for r in runs))
 
 
 if __name__ == "__main__":
