@@ -57,12 +57,13 @@ CROP_BATCH = int(os.environ.get("BENCH_BATCH", "128"))   # HBM sweet spot (v5e, 
 # b64/remat-on spills to 40.  The bare-step numbers in
 # docs/FULLRES_ROOFLINE.md (143 at b64) exclude the full-res fused aug,
 # whose buffers shift the HBM sweet spot down to b40.
-# Round 3: with the fused Pallas resize-CE loss (ops/pallas_resize_ce)
-# the remote AOT compiler crashes on the full-res step at b>=38 (b36:
-# 166.1 img/s, b32: 152.2; crop tier at b128 unaffected), so the
-# full-res default is b36; time_resident retries smaller batches if the
-# compile itself fails.
-FULL_BATCH = int(os.environ.get("BENCH_FULL_BATCH", "36"))
+# Round 3: the fused Pallas resize-CE loss (ops/pallas_resize_ce) both
+# speeds the step and frees HBM — measured best-of-2: b36 169.0, b40
+# 183.4, b44 176.1 img/s (b44 OOM'd before the kernel). One remote-AOT
+# compiler fragility remains: an earlier (unpaired-matmul) kernel
+# revision crashed the compile helper at b>=38, so time_resident keeps a
+# batch-fallback ladder in case a future revision re-trips it.
+FULL_BATCH = int(os.environ.get("BENCH_FULL_BATCH", "40"))
 E2E_BATCH = int(os.environ.get("BENCH_E2E_BATCH", "16"))
 CROP = int(os.environ.get("BENCH_CROP", "1024"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
@@ -275,7 +276,7 @@ def main():
         # batch fallback ladder: a failed compile (remote-compiler crash
         # at b>=38 with the fused CE kernel, or a transient episode) must
         # not zero the judged tier — retry smaller before giving up
-        for fb in dict.fromkeys((FULL_BATCH, 32, 24)):
+        for fb in dict.fromkeys((FULL_BATCH, 36, 32)):
             try:
                 fullres = round(time_resident((HEIGHT, WIDTH), fb,
                                               FULL_STEPS, FULL_REMAT,

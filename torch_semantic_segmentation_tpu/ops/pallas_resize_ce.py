@@ -121,6 +121,31 @@ def _upsampled_class(x_ref, wh, ww_ref, cc):
     return jnp.clip(yc, -_CLIP, _CLIP)
 
 
+def _upsampled_pair(x_ref, wh, ww_ref, c0, c1):
+    """Two class planes upsampled with a sublane-stacked W pass — fills
+    the MXU's M dimension (2·To=128) on the FLOP-dominant W-resize
+    matmul. The H passes stay separate: Mosaic cannot concatenate ref
+    slices taken at different sublane offsets ('result/input offset
+    mismatch on non-concat dimension'), but stacking the freshly
+    computed (offset-0) H results is fine."""
+    to = wh.shape[0]
+    t1a = jnp.dot(wh, x_ref[0, :, c0, :],
+                  preferred_element_type=jnp.float32)
+    t1b = jnp.dot(wh, x_ref[0, :, c1, :],
+                  preferred_element_type=jnp.float32)
+    t2 = jnp.concatenate([t1a, t1b], axis=0).astype(jnp.bfloat16)  # (2To, w)
+    y2 = jnp.dot(t2, ww_ref[:],
+                 preferred_element_type=jnp.float32)   # (2To, OW)
+    return (jnp.clip(y2[:to], -_CLIP, _CLIP),
+            jnp.clip(y2[to:], -_CLIP, _CLIP))
+
+
+def _class_pairs(c):
+    """[(c0, c1), ...] pairs plus an odd singleton tail (or None)."""
+    return ([(c0, c0 + 1) for c0 in range(0, c - 1, 2)],
+            c - 1 if c % 2 else None)
+
+
 def _fwd_kernel(c, wh_ref, ww_ref, x_ref, lab_ref, cw_ref,
                 loss_ref, wt_ref, logz_ref):
     lab = lab_ref[0]                                   # (To, OW) int32
@@ -129,12 +154,21 @@ def _fwd_kernel(c, wh_ref, ww_ref, x_ref, lab_ref, cw_ref,
     s = jnp.zeros((to, ow), jnp.float32)
     tl = jnp.zeros((to, ow), jnp.float32)
     wv = jnp.zeros((to, ow), jnp.float32)
-    for cc in range(c):
-        yc = _upsampled_class(x_ref, wh, ww_ref, cc)
+
+    def fold(yc, cc):
+        nonlocal s, tl, wv
         s += jnp.exp(yc)
         hit = lab == cc
         tl = jnp.where(hit, yc, tl)
         wv = jnp.where(hit, cw_ref[cc], wv)
+
+    pairs, odd = _class_pairs(c)
+    for c0, c1 in pairs:
+        ya, yb = _upsampled_pair(x_ref, wh, ww_ref, c0, c1)
+        fold(ya, c0)
+        fold(yb, c1)
+    if odd is not None:
+        fold(_upsampled_class(x_ref, wh, ww_ref, odd), odd)
     logz = jnp.log(s)
     # residual for the VJP (skips a full recompute pass there); stored
     # bf16 — logz is O(logits), so the 2^-9 relative rounding perturbs
@@ -164,22 +198,42 @@ def _bwd_kernel(c, wh_ref, ww_ref, wwt_ref, x_ref, lab_ref, logz_ref,
     for cc in range(c):
         wv = jnp.where(lab == cc, cw_ref[cc], wv)
     gw = wv * scale_ref[0, 0]                          # g/S2 folded in
-    # softmax cotangent per class, back through the transposed resize
-    # matmuls, accumulated at 1/k² resolution in f32 scratch
-    for cc in range(c):
-        yc = _upsampled_class(x_ref, wh, ww_ref, cc)
+
+    def cotangent(yc, cc):
         p = jnp.exp(yc - logz)
-        dyc = gw * (p - (lab == cc).astype(jnp.float32))
+        return gw * (p - (lab == cc).astype(jnp.float32))
+
+    def transpose_resize(dyc):
+        """(To, OW) cotangent → (h, w): W then H transposed passes.
+        The H pass contracts the To dim of both operands directly via
+        dot_general (a (h, To) sliced block would violate Mosaic's
+        128-lane block-divisibility rule when To < 128)."""
         dw = jnp.dot(dyc.astype(jnp.bfloat16), wwt_ref[:],
                      preferred_element_type=jnp.float32)       # (To, w)
-        # (h, w) = wh^T @ dw — contract the To dim of both operands
-        # directly (a (h, To) sliced block would violate Mosaic's
-        # 128-lane block-divisibility rule when To < 128)
-        dxc = jax.lax.dot_general(
+        return jax.lax.dot_general(
             wh, dw.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (h, w)
-        acc_ref[:, cc, :] += dxc
+
+    # softmax cotangent per class pair, back through the transposed
+    # resize matmuls (sublane-stacked so the W pass runs at M=2·To),
+    # accumulated at 1/k² resolution in f32 scratch
+    pairs, odd = _class_pairs(c)
+    for c0, c1 in pairs:
+        ya, yb = _upsampled_pair(x_ref, wh, ww_ref, c0, c1)
+        d2 = jnp.concatenate([cotangent(ya, c0), cotangent(yb, c1)],
+                             axis=0).astype(jnp.bfloat16)      # (2To, OW)
+        dw2 = jnp.dot(d2, wwt_ref[:],
+                      preferred_element_type=jnp.float32)      # (2To, w)
+        for cc, dw in ((c0, dw2[:to]), (c1, dw2[to:])):
+            dxc = jax.lax.dot_general(
+                wh, dw.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (h, w)
+            acc_ref[:, cc, :] += dxc
+    if odd is not None:
+        dyc = cotangent(_upsampled_class(x_ref, wh, ww_ref, odd), odd)
+        acc_ref[:, odd, :] += transpose_resize(dyc)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
