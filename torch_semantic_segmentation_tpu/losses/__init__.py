@@ -4,8 +4,8 @@ cross-entropy, both with `ignore_index` — the reference's loss surface
 
 Everything runs on-device inside the step program: no host sync, static
 shapes. The OHEM hard-example threshold is computed either exactly
-(`lax.top_k`) for small pixel counts or via an O(n) on-device histogram
-quantile for full-resolution maps — both stay inside the compiled step
+(`lax.top_k`) for small pixel counts or via an on-device value-range
+bisection for full-resolution maps — both stay inside the compiled step
 (SURVEY.md §7 "OHEM on device").
 
 Numeric conventions match torch `F.cross_entropy(weight=..., ignore_index=...)`:
@@ -102,26 +102,33 @@ def _threshold_topk_exact(losses: jax.Array, k: int) -> jax.Array:
 
 
 def _threshold_topk_histogram(losses: jax.Array, valid: jax.Array, k: int,
-                              bins: int = 512) -> jax.Array:
-    """k-th largest via an on-device histogram quantile — O(n), no sort.
+                              iters: int = 26) -> jax.Array:
+    """k-th largest via bisection on the value range — O(iters·n) fused
+    compare-count reductions, no sort and no scatter. (The previous
+    512-bin scatter-add histogram measured ~300 ms for a 33M-pixel map
+    on v5e — the whole OHEM tail's budget — because TPU scatter
+    serializes; 26 fused reductions stream the map at HBM bandwidth.)
 
-    For full-res maps (millions of pixels) `top_k` is memory/sort bound; a
-    512-bin histogram over [0, max] gives the threshold to within one bin,
-    which is ample for OHEM's "roughly the hardest k pixels" semantics.
-    Returns a *bin lower edge* ≤ exact k-th largest, so at least k pixels
-    are kept (OHEM keeps >= min_kept, matching common reference impls).
+    Returns a threshold t ≤ exact k-th largest with count(loss ≥ t) ≥ k,
+    so at least k pixels are kept (OHEM keeps >= min_kept, matching
+    common reference impls); after `iters` halvings of [0, max] the gap
+    to the exact k-th largest is below f32 noise — strictly tighter than
+    the old one-bin resolution.
     """
-    mx = jnp.maximum(jnp.max(jnp.where(valid, losses, 0.0)), 1e-6)
-    scaled = jnp.clip(losses / mx * bins, 0, bins - 1).astype(jnp.int32)
-    scaled = jnp.where(valid, scaled, 0)
-    hist = jnp.zeros((bins,), jnp.float32).at[scaled].add(valid.astype(jnp.float32))
-    # cumulative count from the top bin down; threshold bin = first bin where
-    # count-from-top >= k
-    from_top = jnp.cumsum(hist[::-1])[::-1]
-    keep_bin = jnp.argmax(from_top < k)  # first bin whose tail-count < k
-    keep_bin = jnp.where(jnp.all(from_top >= k), bins - 1, keep_bin)
-    thr_bin = jnp.maximum(keep_bin - 1, 0)
-    return thr_bin.astype(jnp.float32) / bins * mx
+    lossv = jnp.where(valid, losses.astype(jnp.float32), -1.0)
+    mx = jnp.maximum(jnp.max(lossv), 1e-6)
+    kf = jnp.float32(k)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((lossv >= mid).astype(jnp.float32))
+        ge = cnt >= kf
+        return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(
+        0, iters, body, (jnp.float32(0.0), mx + jnp.float32(1e-3)))
+    return lo
 
 
 def ohem_cross_entropy(
@@ -140,7 +147,7 @@ def ohem_cross_entropy(
     `min_kept` qualify, keeps the `min_kept` hardest. Mean of kept losses
     (weighted by class_weights when given). `min_kept` is per *global* batch.
 
-    exact=None auto-selects: exact top_k below 2^20 pixels, histogram
+    exact=None auto-selects: exact top_k below 2^20 pixels, bisection
     quantile above (keeps the step free of giant sorts at 1024×2048).
     """
     loss, valid = _per_pixel_ce(logits, labels, ignore_index)
@@ -250,24 +257,39 @@ def resize_ohem_cross_entropy(
     `upsample_logits=False` models with the config-4/5 OHEM recipe.
 
     The per-pixel loss map is produced by the same N,H,C,W machinery as
-    `resize_cross_entropy_loss`; the hard-example threshold then reuses the
-    histogram-quantile selector (full-res maps are always > 2^20 pixels).
+    `resize_cross_entropy_loss` — or, on single-chip TPU, by the fused
+    Pallas map kernel (`ops/pallas_resize_ce.per_pixel_resize_ce`: the
+    full-res upsampled logits never leave VMEM; only the loss map and its
+    keep-weighted cotangent cross HBM) — and the hard-example threshold
+    then reuses the bisection-quantile selector (full-res maps are always
+    > 2^20 pixels).
     """
+    from torch_semantic_segmentation_tpu.ops import pallas_resize_ce
     from torch_semantic_segmentation_tpu.ops.upsample import (
         resize_bilinear_nhcw)
 
     c = logits.shape[-1]
     oh, ow = labels.shape[1], labels.shape[2]
-    x = resize_bilinear_nhcw(logits, (oh, ow), align_corners=align_corners,
-                             out_dtype=logits.dtype)
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-    xf = x.astype(jnp.float32)
-    logz = jax.nn.logsumexp(xf, axis=2)
-    onehot = (safe[:, :, None, :]
-              == jnp.arange(c, dtype=jnp.int32)[None, None, :, None])
-    true_logit = jnp.sum(xf * onehot.astype(jnp.float32), axis=2)
-    loss = jnp.where(valid, logz - true_logit, 0.0)      # (N, OH, OW)
+
+    if (pallas_resize_ce.enabled()
+            and pallas_resize_ce.supports(logits.shape, labels.shape,
+                                          logits.dtype, ignore_index)):
+        loss = pallas_resize_ce.per_pixel_resize_ce(
+            logits, labels, align_corners=align_corners)     # (N, OH, OW)
+        wmap_full = None
+    else:
+        x = resize_bilinear_nhcw(logits, (oh, ow),
+                                 align_corners=align_corners,
+                                 out_dtype=logits.dtype)
+        xf = x.astype(jnp.float32)
+        logz = jax.nn.logsumexp(xf, axis=2)
+        onehot = (safe[:, :, None, :]
+                  == jnp.arange(c, dtype=jnp.int32)[None, None, :, None])
+        true_logit = jnp.sum(xf * onehot.astype(jnp.float32), axis=2)
+        loss = jnp.where(valid, logz - true_logit, 0.0)      # (N, OH, OW)
+        wmap_full = onehot  # reused below to avoid a second gather
 
     flat = loss.reshape(-1)
     vflat = valid.reshape(-1)
@@ -284,8 +306,11 @@ def resize_ohem_cross_entropy(
     keep = vflat & (flat >= threshold)
     if class_weights is not None:
         cw = jnp.asarray(class_weights, dtype=jnp.float32)
-        wmap = jnp.sum(onehot.astype(jnp.float32)
-                       * cw[None, None, :, None], axis=2).reshape(-1)
+        if wmap_full is not None:
+            wmap = jnp.sum(wmap_full.astype(jnp.float32)
+                           * cw[None, None, :, None], axis=2).reshape(-1)
+        else:
+            wmap = cw[safe].reshape(-1)
         wts = jnp.where(keep, wmap, 0.0)
     else:
         wts = keep.astype(jnp.float32)

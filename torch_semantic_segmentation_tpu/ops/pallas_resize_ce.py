@@ -182,22 +182,47 @@ def _fwd_kernel(c, wh_ref, ww_ref, x_ref, lab_ref, cw_ref,
     wt_ref[pl.program_id(0), pl.program_id(1)] = jnp.sum(wv)
 
 
-def _bwd_kernel(c, wh_ref, ww_ref, wwt_ref, x_ref, lab_ref, logz_ref,
-                cw_ref, scale_ref, dx_ref, acc_ref):
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    lab = lab_ref[0]
-    wh = wh_ref[:]
+def _map_fwd_kernel(c, wh_ref, ww_ref, x_ref, lab_ref, loss_ref, logz_ref):
+    """Per-pixel variant of `_fwd_kernel`: emits the (To, OW) loss-map
+    tile instead of SMEM scalar partials. The caller (OHEM) selects hard
+    pixels from the map and re-reduces outside the kernel — the selection
+    threshold is a global order statistic, so it cannot live in a row
+    tile. Loss at ignored pixels is 0 (no class matches, so tl and the
+    valid mask stay 0)."""
+    lab = lab_ref[0]                                   # (To, OW) int32
+    wh = wh_ref[:]                                     # (To, h) bf16
     to, ow = lab.shape
-    logz = logz_ref[0].astype(jnp.float32)             # saved by forward
-    wv = jnp.zeros((to, ow), jnp.float32)
-    for cc in range(c):
-        wv = jnp.where(lab == cc, cw_ref[cc], wv)
-    gw = wv * scale_ref[0, 0]                          # g/S2 folded in
+    s = jnp.zeros((to, ow), jnp.float32)
+    tl = jnp.zeros((to, ow), jnp.float32)
+    valid = jnp.zeros((to, ow), jnp.float32)
+
+    def fold(yc, cc):
+        nonlocal s, tl, valid
+        s += jnp.exp(yc)
+        hit = lab == cc
+        tl = jnp.where(hit, yc, tl)
+        valid = jnp.where(hit, 1.0, valid)
+
+    pairs, odd = _class_pairs(c)
+    for c0, c1 in pairs:
+        ya, yb = _upsampled_pair(x_ref, wh, ww_ref, c0, c1)
+        fold(ya, c0)
+        fold(yb, c1)
+    if odd is not None:
+        fold(_upsampled_class(x_ref, wh, ww_ref, odd), odd)
+    logz = jnp.log(s)
+    logz_ref[0] = logz.astype(logz_ref.dtype)
+    # f32 map: the OHEM threshold is an order statistic of these values,
+    # so rounding the map would move pixels across the keep boundary
+    loss_ref[0] = valid * (logz - tl)
+
+
+def _bwd_accumulate(c, wh, ww_ref, wwt_ref, x_ref, lab, logz, gw, acc_ref):
+    """Shared VJP body: per-pixel-weight map `gw` times the softmax
+    cotangent, back through the transposed resize matmuls (sublane-
+    stacked so the W pass runs at M=2·To), accumulated at 1/k²
+    resolution in the f32 scratch."""
+    to = lab.shape[0]
 
     def cotangent(yc, cc):
         p = jnp.exp(yc - logz)
@@ -215,9 +240,6 @@ def _bwd_kernel(c, wh_ref, ww_ref, wwt_ref, x_ref, lab_ref, logz_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (h, w)
 
-    # softmax cotangent per class pair, back through the transposed
-    # resize matmuls (sublane-stacked so the W pass runs at M=2·To),
-    # accumulated at 1/k² resolution in f32 scratch
     pairs, odd = _class_pairs(c)
     for c0, c1 in pairs:
         ya, yb = _upsampled_pair(x_ref, wh, ww_ref, c0, c1)
@@ -234,6 +256,54 @@ def _bwd_kernel(c, wh_ref, ww_ref, wwt_ref, x_ref, lab_ref, logz_ref,
     if odd is not None:
         dyc = cotangent(_upsampled_class(x_ref, wh, ww_ref, odd), odd)
         acc_ref[:, odd, :] += transpose_resize(dyc)
+
+
+def _bwd_kernel(c, wh_ref, ww_ref, wwt_ref, x_ref, lab_ref, logz_ref,
+                cw_ref, scale_ref, dx_ref, acc_ref):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lab = lab_ref[0]
+    wh = wh_ref[:]
+    to, ow = lab.shape
+    logz = logz_ref[0].astype(jnp.float32)             # saved by forward
+    wv = jnp.zeros((to, ow), jnp.float32)
+    for cc in range(c):
+        wv = jnp.where(lab == cc, cw_ref[cc], wv)
+    gw = wv * scale_ref[0, 0]                          # g/S2 folded in
+    _bwd_accumulate(c, wh, ww_ref, wwt_ref, x_ref, lab, logz, gw, acc_ref)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        dx_ref[0] = acc_ref[:].astype(dx_ref.dtype)
+
+
+def _map_bwd_kernel(c, wh_ref, ww_ref, wwt_ref, x_ref, lab_ref, logz_ref,
+                    ct_ref, dx_ref, acc_ref):
+    """VJP of the per-pixel loss map: the cotangent arrives as an
+    arbitrary (To, OW) map (for OHEM: g·keep·class_weight/denominator,
+    zero at dropped pixels) instead of the scalar-CE kernel's
+    cw[label]·scale. The in-kernel valid mask re-zeros ignored pixels so
+    the op's own gradient is exact even for cotangents that are nonzero
+    there."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lab = lab_ref[0]
+    wh = wh_ref[:]
+    to, ow = lab.shape
+    logz = logz_ref[0].astype(jnp.float32)
+    valid = jnp.zeros((to, ow), jnp.float32)
+    for cc in range(c):
+        valid = jnp.where(lab == cc, 1.0, valid)
+    gw = valid * ct_ref[0]
+    _bwd_accumulate(c, wh, ww_ref, wwt_ref, x_ref, lab, logz, gw, acc_ref)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
@@ -358,3 +428,105 @@ def resize_cross_entropy(logits, labels, class_weights=None, *,
           else jnp.asarray(class_weights, jnp.float32))
     return _fused_resize_ce(logits, labels.astype(jnp.int32), cw,
                             bool(align_corners), bool(interpret))
+
+
+def _map_primal(logits, labels, align_corners, interpret):
+    n, h, w, c = logits.shape
+    _, oh, ow = labels.shape
+    to = _tile_rows(oh, ow)
+    t = oh // to
+    x = jnp.transpose(logits, (0, 1, 3, 2))            # (N, h, C, w)
+    wh, ww, _ = _matrices(h, w, oh, ow, align_corners)
+    lab = labels.astype(jnp.int32)
+    loss_map, logz = pl.pallas_call(
+        functools.partial(_map_fwd_kernel, c),
+        grid=(n, t),
+        in_specs=[
+            pl.BlockSpec((to, h), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, ow), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, c, w), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, to, ow), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, to, ow), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, to, ow), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, oh, ow), jnp.float32),
+            jax.ShapeDtypeStruct((n, oh, ow), jnp.bfloat16),
+        ),
+        interpret=interpret,
+    )(wh, ww, x, lab)
+    return loss_map, logz
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_resize_ce_map(logits, labels, align_corners, interpret):
+    loss_map, _ = _map_primal(logits, labels, align_corners, interpret)
+    return loss_map
+
+
+def _map_fwd(logits, labels, align_corners, interpret):
+    loss_map, logz = _map_primal(logits, labels, align_corners, interpret)
+    return loss_map, (logits, labels, logz)
+
+
+def _map_bwd(align_corners, interpret, res, ct):
+    logits, labels, logz = res
+    n, h, w, c = logits.shape
+    _, oh, ow = labels.shape
+    to = _tile_rows(oh, ow)
+    t = oh // to
+    x = jnp.transpose(logits, (0, 1, 3, 2))
+    wh, ww, wwt = _matrices(h, w, oh, ow, align_corners)
+    lab = labels.astype(jnp.int32)
+    dx = pl.pallas_call(
+        functools.partial(_map_bwd_kernel, c),
+        grid=(n, t),
+        in_specs=[
+            pl.BlockSpec((to, h), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, ow), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ow, w), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, c, w), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, to, ow), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, to, ow), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, to, ow), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, c, w), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, c, w), logits.dtype),
+        scratch_shapes=[pltpu.VMEM((h, c, w), jnp.float32)],
+        interpret=interpret,
+    )(wh, ww, wwt, x, lab, logz, ct.astype(jnp.float32))
+    dlogits = jnp.transpose(dx, (0, 1, 3, 2))
+    return (dlogits, np.zeros(labels.shape, dtype=jax.dtypes.float0))
+
+
+_fused_resize_ce_map.defvjp(_map_fwd, _map_bwd)
+
+
+def per_pixel_resize_ce(logits, labels, *,
+                        align_corners: bool = False,
+                        interpret: bool = False):
+    """Per-pixel fused upsample+CE loss MAP (N, OH, OW) f32 — the OHEM
+    building block (`losses.resize_ohem_cross_entropy`): the hard-example
+    threshold is a global order statistic over all pixels, so selection
+    and re-reduction happen in plain XLA around this op while the
+    full-res logits still never leave VMEM. Loss is 0 at ignored pixels
+    (any label outside [0, C)). Callers must check `supports()` first
+    (same guard: ignore_index must be >= C)."""
+    return _fused_resize_ce_map(logits, labels.astype(jnp.int32),
+                                bool(align_corners), bool(interpret))
