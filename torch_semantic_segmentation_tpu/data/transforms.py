@@ -118,7 +118,12 @@ def _warp_batch(images: jax.Array, labels: jax.Array, scale, oy, ox, flip,
                      preferred_element_type=dtype)
     img = jnp.einsum("nkw,nhwc->nhkc", ww, img,
                      preferred_element_type=dtype)
-    img = img.astype(jnp.float32) / 255.0
+    # stay at `dtype` (bf16 on TPU): promoting to f32 here makes every
+    # downstream jitter/normalize intermediate a full-res f32 tensor
+    # (~1 GB each at b40 1024×2048) — measured ~40% of the aug stage's
+    # compiled HBM bytes. [0,1] bf16 has ~2^-9 relative rounding, well
+    # under the jitter's own random perturbation.
+    img = img / jnp.asarray(255.0, dtype)
 
     whn = _nearest_matrix_rows(src_y, h, dtype)
     wwn = _nearest_matrix_rows(src_x, w, dtype)
@@ -148,7 +153,10 @@ def _color_jitter(img: jax.Array, b, c, s, hshift, enable_hue: bool) -> jax.Arra
     order; torchvision randomises the order — immaterial for augmentation
     strength, noted for parity review)."""
     img = jnp.clip(img * b, 0.0, 1.0)
-    gray_mean = jnp.mean(_rgb_to_gray(img))
+    # reduce at f32 (bf16 accumulation over ~2M pixels drifts), apply at
+    # the image dtype so the elementwise chain stays in one fused pass
+    gray_mean = jnp.mean(_rgb_to_gray(img), dtype=jnp.float32
+                         ).astype(img.dtype)
     img = jnp.clip((img - gray_mean) * c + gray_mean, 0.0, 1.0)
     gray = _rgb_to_gray(img)
     img = jnp.clip((img - gray) * s + gray, 0.0, 1.0)
@@ -207,13 +215,18 @@ def augment_batch(
         s = jax.random.uniform(ks[6], (n,), minval=1 - cfg.saturation,
                                maxval=1 + cfg.saturation)
         hshift = jax.random.uniform(ks[7], (n,), minval=-cfg.hue, maxval=cfg.hue)
+        # per-sample scalars at the image dtype: an f32 scalar operand
+        # would promote the whole elementwise chain (and its full-res
+        # intermediates) back to f32
+        dt = out_img.dtype
         out_img = jax.vmap(
             lambda im, bb, cc, ss, hh: _color_jitter(im, bb, cc, ss, hh,
                                                      enable_hue=cfg.hue > 0)
-        )(out_img, b, c, s, hshift)
+        )(out_img, b.astype(dt), c.astype(dt), s.astype(dt),
+          hshift.astype(dt))
 
-    mean = jnp.asarray(cfg.mean, jnp.float32)
-    std = jnp.asarray(cfg.std, jnp.float32)
+    mean = jnp.asarray(cfg.mean, out_img.dtype)
+    std = jnp.asarray(cfg.std, out_img.dtype)
     out_img = (out_img - mean) / std
     return out_img.astype(cfg.out_dtype), out_lbl
 
