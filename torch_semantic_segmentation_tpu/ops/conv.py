@@ -205,6 +205,9 @@ class ConvBNAct(nnx.Module):
             self.act = None
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        y = self._maybe_folded_train_1x1(x)
+        if y is not None:
+            return y
         y = self._maybe_pallas_dw(x)
         if y is None:
             y = self.conv(x)
@@ -213,6 +216,30 @@ class ConvBNAct(nnx.Module):
         if self.act is not None:
             return self.act(y)
         return activation(self._act_name)(y)
+
+    def _maybe_folded_train_1x1(self, x: jax.Array) -> jax.Array | None:
+        """Route training-mode 1×1 conv→BN→act through the moment-matmul
+        BN fold (ops.folded_bn): the pre-BN tensor — the largest tensor
+        in every inverted-residual block — never reaches HBM. Identical
+        math up to float reassociation; kill switch TPU_SEG_FOLDED_BN=0.
+        Only where the byte trade wins (3·C_out > C_in) and only for
+        stride-1 group-1 unpadded 1×1 convs (the stats identity needs
+        output pixels ≡ input pixels)."""
+        conv = self.conv
+        if (self.bn is None or self.bn.use_running_average
+                or conv.kernel_size != (1, 1)
+                or conv.feature_group_count != 1
+                or conv.strides not in ((1, 1), 1)
+                or conv.padding != ((0, 0), (0, 0))
+                or conv.kernel_dilation not in ((1, 1), 1)):
+            return None
+        from torch_semantic_segmentation_tpu.ops import folded_bn
+        if not folded_bn.enabled():
+            return None
+        if not folded_bn.fold_wins(conv.in_features, conv.out_features):
+            return None
+        act_fn = self.act if self.act is not None else activation(self._act_name)
+        return folded_bn.conv1x1_bn_act(conv, self.bn, act_fn, x)
 
     def _maybe_pallas_dw(self, x: jax.Array) -> jax.Array | None:
         """Route full-res depthwise 3×3 convs through the packed Pallas
