@@ -63,7 +63,10 @@ CROP_BATCH = int(os.environ.get("BENCH_BATCH", "128"))   # HBM sweet spot (v5e, 
 # compiler fragility remains: an earlier (unpaired-matmul) kernel
 # revision crashed the compile helper at b>=38, so time_resident keeps a
 # batch-fallback ladder in case a future revision re-trips it.
-FULL_BATCH = int(os.environ.get("BENCH_FULL_BATCH", "40"))
+# With the fused expand→dw MBConv kernel (ops/pallas_mbconv) freeing the
+# e1 backward residuals, b48 fits remat-off and is the sweet spot:
+# b40 190.5, b48 194.1, b56 191.2 img/s (routed; b48 unrouted 190.95).
+FULL_BATCH = int(os.environ.get("BENCH_FULL_BATCH", "48"))
 E2E_BATCH = int(os.environ.get("BENCH_E2E_BATCH", "16"))
 CROP = int(os.environ.get("BENCH_CROP", "1024"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))

@@ -39,8 +39,61 @@ class InvertedResidual(nnx.Module):
                                  param_dtype=param_dtype, rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = self.project(self.dw(self.expand(x)))
+        y = self._maybe_fused_expand_dw(x)
+        if y is None:
+            y = self.dw(self.expand(x))
+        y = self.project(y)
         return x + y if self.use_res else y
+
+    def _maybe_fused_expand_dw(self, x: jax.Array) -> jax.Array | None:
+        """Route training-mode expand(1×1, folded BN) → ReLU → dw3×3
+        through the fused Pallas kernel (ops.pallas_mbconv): the expanded
+        tensor — the LARGEST activation in the network, 6× the block
+        width — never reaches HBM in either the forward or the backward
+        (gather-form VJP recomputes it per row). Returns the dw conv
+        output run through the dw BN/act; kill switch
+        TPU_SEG_PALLAS_MBCONV=0. SURVEY.md §2.1 "FastSCNN" GFE hot spot.
+        """
+        exp, dw = self.expand, self.dw
+        if (exp.bn is None or exp.bn.use_running_average
+                or dw.bn is None or dw.bn.use_running_average):
+            return None                       # eval: sepconv fold path
+        if exp.act is not None or exp._act_name != "relu":
+            return None
+        ec = exp.conv
+        if (ec.kernel_size != (1, 1) or ec.feature_group_count != 1
+                or ec.strides not in ((1, 1), 1)
+                or ec.padding != ((0, 0), (0, 0))):
+            return None
+        dc = dw.conv
+        hidden = ec.out_features
+        if (dc.kernel_size != (3, 3) or dc.feature_group_count != hidden
+                or dc.in_features != hidden or dc.use_bias
+                or dc.kernel_dilation not in ((1, 1), 1)
+                or dc.padding != ((1, 1), (1, 1))):
+            return None
+        stride = dc.strides[0] if isinstance(dc.strides, tuple) else dc.strides
+        from torch_semantic_segmentation_tpu.ops import (folded_bn,
+                                                         pallas_mbconv)
+        if not pallas_mbconv.enabled():
+            return None
+        if not pallas_mbconv.supports(x.shape, hidden, stride):
+            return None
+        # the kernel computes in bf16 — only route when the standard
+        # path's dw conv output would be bf16 too (dtype parity rule)
+        dw_out_dtype = (jnp.dtype(dc.dtype) if dc.dtype is not None
+                        else jnp.promote_types(jnp.bfloat16,
+                                               dc.kernel.value.dtype))
+        if dw_out_dtype != jnp.dtype(jnp.bfloat16) or x.dtype != jnp.bfloat16:
+            return None
+        w_fold, b_fold = folded_bn.folded_1x1_weights(ec, exp.bn, x)
+        k = dc.kernel[...].reshape(3, 3, hidden)
+        y = pallas_mbconv.fused_expand_dw(x, w_fold, b_fold, k, stride)
+        y = dw.bn(y)
+        if dw.act is not None:
+            return dw.act(y)
+        from torch_semantic_segmentation_tpu.ops.conv import activation
+        return activation(dw._act_name)(y)
 
 
 class PyramidPooling(nnx.Module):

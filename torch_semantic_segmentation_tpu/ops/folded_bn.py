@@ -74,14 +74,12 @@ def fold_wins(c_in: int, c_out: int) -> bool:
     return c_out >= 3 * c_in
 
 
-def conv1x1_bn_act(conv, bn, act_fn, x: jax.Array) -> jax.Array:
-    """Training-mode conv(1×1) → BN → act with BN folded into the conv.
-
-    `conv` is an nnx.Conv with kernel_size (1,1), stride 1, groups 1;
-    `bn` an nnx.BatchNorm in training mode (use_running_average=False).
-    Updates bn.mean/bn.var in place (momentum, stop-gradient) exactly as
-    the standard path would.
-    """
+def folded_1x1_weights(conv, bn, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Folded (W', b') for a training-mode 1×1 conv → BN, from the
+    input's first two moments. Updates bn.mean/bn.var in place
+    (momentum, stop-gradient) exactly as the standard path would.
+    Returns W' (Cin, Cout) f32 and b' (Cout,) f32; autodiff flows
+    through the moment matmuls into x and the conv/BN params."""
     w = conv.kernel[...]
     c_in, c_out = w.shape[2], w.shape[3]
     wf = w.reshape(c_in, c_out).astype(jnp.float32)
@@ -116,11 +114,23 @@ def conv1x1_bn_act(conv, bn, act_fn, x: jax.Array) -> jax.Array:
     b_fold = beta - mu_e * s
     if conv.bias is not None:
         b_fold = b_fold + conv.bias[...].astype(jnp.float32) * s
+    return wf * s[None, :], b_fold
+
+
+def conv1x1_bn_act(conv, bn, act_fn, x: jax.Array) -> jax.Array:
+    """Training-mode conv(1×1) → BN → act with BN folded into the conv.
+
+    `conv` is an nnx.Conv with kernel_size (1,1), stride 1, groups 1;
+    `bn` an nnx.BatchNorm in training mode (use_running_average=False).
+    """
+    w_fold2, b_fold = folded_1x1_weights(conv, bn, x)
+    c_in, c_out = w_fold2.shape
+    w = conv.kernel[...]
 
     # nnx.Conv dtype contract: compute at conv.dtype, else promote(x, W)
     cd = (jnp.dtype(conv.dtype) if conv.dtype is not None
           else jnp.promote_types(x.dtype, w.dtype))
-    w_fold = (wf * s[None, :]).astype(cd).reshape(1, 1, c_in, c_out)
+    w_fold = w_fold2.astype(cd).reshape(1, 1, c_in, c_out)
     y = jax.lax.conv_general_dilated(
         x.astype(cd), w_fold, window_strides=(1, 1),
         padding=((0, 0), (0, 0)),

@@ -125,6 +125,15 @@ def make_train_step(
 
         def compute_loss(model):
             def fwd(model, images):
+                if remat:
+                    # under remat the fused expand→dw kernel's forward
+                    # would run twice and its residual saving is moot —
+                    # measured 8% slower at the crop remat tier
+                    # (ops/pallas_mbconv.suppress_routing)
+                    from torch_semantic_segmentation_tpu.ops import (
+                        pallas_mbconv)
+                    with pallas_mbconv.suppress_routing():
+                        return model(images)
                 return model(images)
             if remat:
                 fwd = nnx.remat(fwd)
