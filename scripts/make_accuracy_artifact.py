@@ -99,6 +99,9 @@ def main():
         "packed_lds": (os.environ.get("FASTSCNN_PACKED_LDS")
                        or ("default:on" if jax.default_backend() == "tpu"
                            else "default:off")),
+        "pallas_mbconv": (os.environ.get("TPU_SEG_PALLAS_MBCONV")
+                          or ("default:on" if jax.default_backend() == "tpu"
+                              else "default:off")),
         "eval_curve": runs[0]["eval_curve"],
         "best_val_miou": best,
         "threshold": 70.0,
