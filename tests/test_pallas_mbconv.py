@@ -109,6 +109,7 @@ def test_remat_step_suppresses_routing(monkeypatch):
     from torch_semantic_segmentation_tpu.ops import pallas_mbconv
 
     monkeypatch.setenv("TPU_SEG_PALLAS_MBCONV", "1")
+    monkeypatch.setenv("TPU_SEG_PALLAS_MBCONV_MIN_PX", "0")
     calls = []
     real = pallas_mbconv.fused_expand_dw
 
@@ -155,6 +156,7 @@ def test_inverted_residual_routes_and_matches(monkeypatch):
     from torch_semantic_segmentation_tpu.ops import pallas_mbconv
 
     monkeypatch.setenv("TPU_SEG_PALLAS_MBCONV", "1")
+    monkeypatch.setenv("TPU_SEG_PALLAS_MBCONV_MIN_PX", "0")
     real = pallas_mbconv.fused_expand_dw
     calls = []
 

@@ -79,6 +79,14 @@ class InvertedResidual(nnx.Module):
             return None
         if not pallas_mbconv.supports(x.shape, hidden, stride):
             return None
+        # spatial floor: below it the kernel's fixed costs beat the byte
+        # saving — ContextNet's (16,16,32,·) blocks measured a 40% step
+        # LOSS routed, while the FastSCNN GFE shapes (≥131K px) win
+        # (override: TPU_SEG_PALLAS_MBCONV_MIN_PX)
+        import os
+        floor = int(os.environ.get("TPU_SEG_PALLAS_MBCONV_MIN_PX", 1 << 17))
+        if x.shape[0] * x.shape[1] * x.shape[2] < floor:
+            return None
         # the kernel computes in bf16 — only route when the standard
         # path's dw conv output would be bf16 too (dtype parity rule)
         dw_out_dtype = (jnp.dtype(dc.dtype) if dc.dtype is not None
