@@ -279,7 +279,9 @@ def main():
         # batch fallback ladder: a failed compile (remote-compiler crash
         # at b>=38 with the fused CE kernel, or a transient episode) must
         # not zero the judged tier — retry smaller before giving up
-        for fb in dict.fromkeys((FULL_BATCH, 36, 32)):
+        for fb in dict.fromkeys(
+                (FULL_BATCH,) + tuple(b for b in (36, 32)
+                                      if b < FULL_BATCH)):
             try:
                 fullres = round(time_resident((HEIGHT, WIDTH), fb,
                                               FULL_STEPS, FULL_REMAT,

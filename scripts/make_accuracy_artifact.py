@@ -25,6 +25,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 RND = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 400
 
+# At crop 128 / batch 8 the GFE blocks sit far below the MBConv kernel's
+# default spatial routing floor (TPU_SEG_PALLAS_MBCONV_MIN_PX = 2^17
+# N·H·W, ops/blocks.py) — lift it so this artifact genuinely trains
+# through the kernel it claims to cover (the perf floor is a throughput
+# gate, not a correctness one; tests do the same).
+os.environ.setdefault("TPU_SEG_PALLAS_MBCONV_MIN_PX", "0")
+
 
 class Tee:
     def __init__(self, stream):
@@ -102,6 +109,7 @@ def main():
         "pallas_mbconv": (os.environ.get("TPU_SEG_PALLAS_MBCONV")
                           or ("default:on" if jax.default_backend() == "tpu"
                               else "default:off")),
+        "pallas_mbconv_min_px": os.environ["TPU_SEG_PALLAS_MBCONV_MIN_PX"],
         "eval_curve": runs[0]["eval_curve"],
         "best_val_miou": best,
         "threshold": 70.0,

@@ -110,6 +110,9 @@ def test_remat_step_suppresses_routing(monkeypatch):
 
     monkeypatch.setenv("TPU_SEG_PALLAS_MBCONV", "1")
     monkeypatch.setenv("TPU_SEG_PALLAS_MBCONV_MIN_PX", "0")
+    # the route folds the expand BN, so it honors folded_bn's kill
+    # switch too (blocks.InvertedResidual); force it on off-TPU
+    monkeypatch.setenv("TPU_SEG_FOLDED_BN", "1")
     calls = []
     real = pallas_mbconv.fused_expand_dw
 
@@ -157,6 +160,7 @@ def test_inverted_residual_routes_and_matches(monkeypatch):
 
     monkeypatch.setenv("TPU_SEG_PALLAS_MBCONV", "1")
     monkeypatch.setenv("TPU_SEG_PALLAS_MBCONV_MIN_PX", "0")
+    monkeypatch.setenv("TPU_SEG_FOLDED_BN", "1")
     real = pallas_mbconv.fused_expand_dw
     calls = []
 

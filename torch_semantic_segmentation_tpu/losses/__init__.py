@@ -204,7 +204,13 @@ def resize_cross_entropy_loss(
     # traffic at the bench shape; ops/pallas_resize_ce.py)
     if (pallas_resize_ce.enabled()
             and pallas_resize_ce.supports(logits.shape, labels.shape,
-                                          logits.dtype, ignore_index)):
+                                          logits.dtype, ignore_index)
+            # the fused kernel's VJP treats class weights as constants
+            # (zero cotangent). Dataset class weights ARE constants
+            # (data/class_weights.py), but if a caller passes a traced
+            # array — e.g. differentiating wrt learned weights — keep
+            # the XLA path, whose cw gradient is real.
+            and not isinstance(class_weights, jax.core.Tracer)):
         return pallas_resize_ce.resize_cross_entropy(
             logits, labels, class_weights,
             align_corners=align_corners, ignore_index=ignore_index)

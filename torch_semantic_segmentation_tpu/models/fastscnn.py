@@ -53,7 +53,8 @@ class LearningToDownsample(nnx.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         from torch_semantic_segmentation_tpu.ops import packed_lds
-        if packed_lds.enabled() and packed_lds.supports(x.shape):
+        if (packed_lds.enabled() and packed_lds.supports(x.shape)
+                and packed_lds.routable(self)):
             # Whole-LDS W-packed region (ops/packed_lds.py): same params
             # and BN state, ~8× fewer HBM bytes on TPU lane-padded layouts
             return packed_lds.lds_forward(self, x)

@@ -77,6 +77,11 @@ class InvertedResidual(nnx.Module):
                                                          pallas_mbconv)
         if not pallas_mbconv.enabled():
             return None
+        # the kernel folds the expand BN via ops.folded_bn, so it must
+        # honor that module's kill switch too: TPU_SEG_FOLDED_BN=0 has to
+        # disable EVERY folded-BN computation for a clean numerics A/B
+        if not folded_bn.enabled():
+            return None
         if not pallas_mbconv.supports(x.shape, hidden, stride):
             return None
         # spatial floor: below it the kernel's fixed costs beat the byte

@@ -216,6 +216,17 @@ def supports(x_shape: tuple, p1: int | None = None) -> bool:
     return x_shape[2] % stem_in == 0
 
 
+def routable(lds) -> bool:
+    """Architecture guard: `lds_forward` hard-codes ReLU after every
+    BN, so only route an LDS whose five ConvBNActs all declare act
+    'relu' (no PReLU module, no act=None/relu6 variants) — a
+    non-default LearningToDownsample must silently keep the NHWC path,
+    not train with different math."""
+    cbas = (lds.conv, lds.ds1.dw, lds.ds1.pw, lds.ds2.dw, lds.ds2.pw)
+    return all(cba.act is None and getattr(cba, "_act_name", None) == "relu"
+               for cba in cbas)
+
+
 def lds_forward(lds, x: jax.Array, p1: int | None = None) -> jax.Array:
     """Packed-layout forward of models.fastscnn.LearningToDownsample,
     using its exact parameters/BN state. Returns NHWC (N, H/8, W/8, 64)."""

@@ -84,8 +84,9 @@ def enabled() -> bool:
 
 
 def supports(x_shape: tuple, c_exp: int, stride: int) -> bool:
-    """Shape guard: even spatial dims for stride 2, a row-tile that
-    divides H_out, lane-clean expanded width, sublane-friendly W."""
+    """Shape guard: even spatial dims for stride 2, lane-clean expanded
+    width, sublane-friendly W, VMEM-bounded tiles (a forward row-tile
+    always exists — _tile_rows falls back to 1)."""
     if len(x_shape) != 4 or stride not in (1, 2):
         return False
     n, h, w, c_in = x_shape
@@ -95,8 +96,6 @@ def supports(x_shape: tuple, c_exp: int, stride: int) -> bool:
         return False
     h_out = h // stride
     if stride == 2 and h % 2:
-        return False
-    if _tile_rows(h_out) == 0:
         return False
     # VMEM budget: e tile (stride·To+1, W, Ce) bf16 + acc (W, Ce) f32
     to = _tile_rows(h_out)

@@ -404,6 +404,11 @@ def _fused_bwd(align_corners, interpret, res, g):
         interpret=interpret,
     )(wh, ww, wwt, x, lab, logz, cw, scale)
     dlogits = jnp.transpose(dx, (0, 1, 3, 2))
+    # class weights are treated as CONSTANTS (zero cotangent): computing
+    # the true dcw needs per-class loss partials the kernel doesn't emit.
+    # The routing layer (losses.resize_cross_entropy_loss) keeps traced
+    # class_weights on the XLA path, so a real cw gradient is never
+    # requested through this kernel.
     return (dlogits,
             np.zeros(labels.shape, dtype=jax.dtypes.float0),
             jnp.zeros_like(cw))
