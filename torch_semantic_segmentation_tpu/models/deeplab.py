@@ -18,6 +18,7 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from flax import nnx
+from torch_semantic_segmentation_tpu.ops import dropout as hw_dropout
 
 from torch_semantic_segmentation_tpu.models.resnet import ResNet
 from torch_semantic_segmentation_tpu.ops import ASPP, make_conv, resize_bilinear
@@ -48,7 +49,7 @@ class DeepLabV3(nnx.Module):
         rates = (12, 24, 36) if output_stride == 8 else (6, 12, 18)
         self.aspp = ASPP(self.backbone.out_channels, aspp_channels,
                          rates=rates, align_corners=align_corners, **kw)
-        self.dropout = nnx.Dropout(rate=0.1, rngs=rngs)
+        self.dropout = hw_dropout.Dropout(rate=0.1, rngs=rngs)
         self.classifier = make_conv(aspp_channels, num_classes, 1,
                                     use_bias=True, **kw)
         if aux:

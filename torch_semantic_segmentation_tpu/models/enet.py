@@ -20,6 +20,7 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from flax import nnx
+from torch_semantic_segmentation_tpu.ops import dropout as hw_dropout
 
 from torch_semantic_segmentation_tpu.ops import (
     ConvBNAct,
@@ -93,7 +94,7 @@ class Bottleneck(nnx.Module):
         self.expand = ConvBNAct(mid, out_ch, 1, act=None, dtype=dtype,
                                 param_dtype=param_dtype, rngs=rngs)
         # spatial dropout: drop whole feature maps (broadcast over H, W)
-        self.dropout = nnx.Dropout(rate=dropout, broadcast_dims=(1, 2), rngs=rngs)
+        self.dropout = hw_dropout.Dropout(rate=dropout, broadcast_dims=(1, 2), rngs=rngs)
 
         if kind == "up":
             self.skip_conv = ConvBNAct(in_ch, out_ch, 1, act=None, dtype=dtype,

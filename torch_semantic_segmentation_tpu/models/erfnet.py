@@ -23,6 +23,7 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from flax import nnx
+from torch_semantic_segmentation_tpu.ops import dropout as hw_dropout
 
 from torch_semantic_segmentation_tpu.ops import (
     ConvTranspose2d, make_conv, make_norm, max_pool2d)
@@ -58,7 +59,7 @@ class NonBottleneck1d(nnx.Module):
         self.conv1x3_2 = make_conv(ch, ch, (1, 3), padding=(0, d),
                                    dilation=(1, d), use_bias=True, **kw)
         self.bn2 = make_norm(ch, **kw)
-        self.dropout = nnx.Dropout(rate=dropout, rngs=rngs)
+        self.dropout = hw_dropout.Dropout(rate=dropout, rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         y = jax.nn.relu(self.conv3x1_1(x))

@@ -23,6 +23,7 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from flax import nnx
+from torch_semantic_segmentation_tpu.ops import dropout as hw_dropout
 
 from torch_semantic_segmentation_tpu.models.erfnet import (
     DownsamplerBlock, UpsamplerBlock)
@@ -42,7 +43,7 @@ class FCU(nnx.Module):
         self.conv_b1 = make_conv(ch, ch, (k, 1), padding=(p, 0), use_bias=True, **kw)
         self.conv_b2 = make_conv(ch, ch, (1, k), padding=(0, p), use_bias=True, **kw)
         self.bn2 = make_norm(ch, **kw)
-        self.dropout = nnx.Dropout(rate=dropout, rngs=rngs)
+        self.dropout = hw_dropout.Dropout(rate=dropout, rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         y = jax.nn.relu(self.conv_a1(x))
@@ -69,7 +70,7 @@ class PFCU(nnx.Module):
             make_conv(ch, ch, (1, 3), padding=(0, r), dilation=(1, r),
                       use_bias=True, **kw) for r in rates])
         self.branch_bn = nnx.List([make_norm(ch, **kw) for _ in rates])
-        self.dropout = nnx.Dropout(rate=dropout, rngs=rngs)
+        self.dropout = hw_dropout.Dropout(rate=dropout, rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         y = jax.nn.relu(self.stem1(x))

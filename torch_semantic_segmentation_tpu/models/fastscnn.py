@@ -28,6 +28,7 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from flax import nnx
+from torch_semantic_segmentation_tpu.ops import dropout as hw_dropout
 
 from torch_semantic_segmentation_tpu.ops import (
     ConvBNAct,
@@ -130,7 +131,7 @@ class Classifier(nnx.Module):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.ds1 = SeparableConv(in_ch, in_ch, 3, **kw)
         self.ds2 = SeparableConv(in_ch, in_ch, 3, **kw)
-        self.dropout = nnx.Dropout(rate=dropout, rngs=rngs)
+        self.dropout = hw_dropout.Dropout(rate=dropout, rngs=rngs)
         self.conv = make_conv(in_ch, num_classes, 1, use_bias=True,
                               dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 

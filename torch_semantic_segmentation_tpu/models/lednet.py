@@ -26,6 +26,7 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from flax import nnx
+from torch_semantic_segmentation_tpu.ops import dropout as hw_dropout
 
 from torch_semantic_segmentation_tpu.models.erfnet import DownsamplerBlock
 from torch_semantic_segmentation_tpu.ops import (
@@ -66,7 +67,7 @@ class SSnbt(nnx.Module):
         self.bn_left2 = make_norm(half, **kw)
         self.bn_right1 = make_norm(half, **kw)
         self.bn_right2 = make_norm(half, **kw)
-        self.dropout = nnx.Dropout(rate=dropout, rngs=rngs)
+        self.dropout = hw_dropout.Dropout(rate=dropout, rngs=rngs)
 
     def _run(self, branch, bn1, bn2, x, *, transposed: bool) -> jax.Array:
         c1, c2, c3, c4 = branch

@@ -12,6 +12,7 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from flax import nnx
+from torch_semantic_segmentation_tpu.ops import dropout as hw_dropout
 
 from torch_semantic_segmentation_tpu.ops.conv import ConvBNAct, make_conv, make_norm
 from torch_semantic_segmentation_tpu.ops.pool import adaptive_avg_pool2d, global_avg_pool
@@ -190,7 +191,7 @@ class SegHead(nnx.Module):
                  rngs: nnx.Rngs):
         self.conv = ConvBNAct(in_ch, mid_ch, 3, act="relu", dtype=dtype,
                               param_dtype=param_dtype, rngs=rngs)
-        self.dropout = nnx.Dropout(rate=dropout, rngs=rngs) if dropout > 0 else None
+        self.dropout = hw_dropout.Dropout(rate=dropout, rngs=rngs) if dropout > 0 else None
         self.classifier = make_conv(mid_ch, num_classes, 1, use_bias=True,
                                     dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
