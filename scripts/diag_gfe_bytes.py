@@ -69,7 +69,7 @@ def main():
     x = jnp.asarray(rng.normal(size=(B, H // 8, W // 8, 64)), jnp.bfloat16)
     with pallas_mbconv.suppress_routing():
         mm = nnx.merge(gd, params, rest)
-        mm.train()
+        mm.eval()  # shape pass only; train-mode BN mutates under eval_shape
         for si, stage in enumerate((mm.gfe.stage1, mm.gfe.stage2,
                                     mm.gfe.stage3)):
             for bi, blk in enumerate(stage):

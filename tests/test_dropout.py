@@ -108,3 +108,23 @@ def test_small_masks_stay_on_parent_path(monkeypatch):
     ref = nnx.Dropout(rate=0.1, broadcast_dims=(1, 2), rngs=nnx.Rngs(0))
     ref.train()
     np.testing.assert_array_equal(np.asarray(d(x)), np.asarray(ref(x)))
+
+
+def test_sharded_mask_not_replicated(monkeypatch):
+    """GSPMD partitioning of RngBitGenerator must give each data shard
+    DIFFERENT bits — replicated per-shard masks would silently repeat
+    the same dropout pattern across the global batch (correlated
+    regularization). Pinned on the 8-device CPU mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    monkeypatch.setenv("TPU_SEG_RBG_DROPOUT", "1")
+    monkeypatch.setattr(hw_dropout, "_MIN_MASK_ELEMENTS", 1)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]).reshape(8), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+
+    def mask(key):
+        return hw_dropout._hw_mask(key, (16, 64, 128), jnp.uint8, 230)
+
+    out = jax.jit(mask, out_shardings=sh)(jax.random.key(0))
+    shards = np.asarray(out).reshape(8, 2, 64, 128)
+    assert len({shards[i].tobytes() for i in range(8)}) == 8
