@@ -23,6 +23,7 @@ class DatasetBundle:
     class_weights: np.ndarray | None
     mean: tuple[float, float, float]
     std: tuple[float, float, float]
+    palette: np.ndarray | None = None    # (num_classes, 3) uint8 RGB, or None
 
 
 class _SyntheticDataset:
@@ -58,7 +59,8 @@ def build_dataset(name: str, root: str | None, split: str, *,
             class_names=cityscapes.CLASS_NAMES,
             label_lut=cityscapes.label_lookup_table(),
             class_weights=cityscapes.enet_class_weights(),
-            mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD)
+            mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD,
+            palette=cityscapes.PALETTE)
     if name == "camvid":
         if root is None:
             raise ValueError("--dataset-dir is required for camvid")
@@ -69,7 +71,8 @@ def build_dataset(name: str, root: str | None, split: str, *,
             class_names=camvid.CLASS_NAMES,
             label_lut=None,
             class_weights=camvid.enet_class_weights(),
-            mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD)
+            mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD,
+            palette=camvid.PALETTE)
     if name == "bdd":
         from torch_semantic_segmentation_tpu.data import bdd
         if root is None:
@@ -81,7 +84,8 @@ def build_dataset(name: str, root: str | None, split: str, *,
             class_names=bdd.CLASS_NAMES,
             label_lut=None,                      # masks are train-id encoded
             class_weights=cityscapes.enet_class_weights(),
-            mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD)
+            mean=CITYSCAPES_MEAN, std=CITYSCAPES_STD,
+            palette=cityscapes.PALETTE)
     if name == "mapillary":
         from torch_semantic_segmentation_tpu.data import mapillary
         if root is None:

@@ -31,6 +31,16 @@ CLASS_NAMES = (
     "bicycle",
 )
 
+# Train-id colors (official cityscapesScripts labels.py, same order as
+# CLASS_NAMES) — used by the predict CLI to colorize id masks.
+PALETTE = np.array([
+    (128, 64, 128), (244, 35, 232), (70, 70, 70), (102, 102, 156),
+    (190, 153, 153), (153, 153, 153), (250, 170, 30), (220, 220, 0),
+    (107, 142, 35), (152, 251, 152), (70, 130, 180), (220, 20, 60),
+    (255, 0, 0), (0, 0, 142), (0, 0, 70), (0, 60, 100), (0, 80, 100),
+    (0, 0, 230), (119, 11, 32),
+], dtype=np.uint8)
+
 # raw label id -> train id (official cityscapesScripts mapping)
 _ID_TO_TRAIN_ID = {
     7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8, 22: 9,
