@@ -50,7 +50,12 @@ HBM_PEAK_GBPS = 819.0                    # v5e pin bandwidth (public spec)
 
 HEIGHT = int(os.environ.get("BENCH_H", "1024"))
 WIDTH = int(os.environ.get("BENCH_W", "2048"))
-CROP_BATCH = int(os.environ.get("BENCH_BATCH", "128"))   # HBM sweet spot (v5e, remat)
+# Crop-tier sweet spot re-swept 2026-08-19 (round 3, with the fused CE +
+# MBConv kernels freeing remat's memory headroom): remat-off b96 424.8
+# img/s > b64 416.0 > b112 408.1 > b128 407.4, vs the old b128+remat
+# default's 361.1 — remat's recompute (and its MBConv routing
+# suppression) now costs more than the batch headroom it buys.
+CROP_BATCH = int(os.environ.get("BENCH_BATCH", "96"))
 # In-harness sweep (aug in graph, donated buffers): b40/remat-off 99.6
 # (bf16 aug intermediates; 95.9 with fp32 aug), b32/remat-on 94.5,
 # b32/remat-off 94.0 img/s; b48+/remat-off OOMs even with bf16 aug and
@@ -73,7 +78,7 @@ STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 FULL_STEPS = int(os.environ.get("BENCH_FULL_STEPS", "16"))
 E2E_STEPS = int(os.environ.get("BENCH_E2E_STEPS", "8"))
 E2E_FILES = int(os.environ.get("BENCH_E2E_FILES", "48"))
-REMAT = bool(int(os.environ.get("BENCH_REMAT", "1")))
+REMAT = bool(int(os.environ.get("BENCH_REMAT", "0")))
 FULL_REMAT = bool(int(os.environ.get("BENCH_FULL_REMAT", "0")))
 MODE = os.environ.get("BENCH_MODE", "all")  # all | crop | fullres | e2e
 
