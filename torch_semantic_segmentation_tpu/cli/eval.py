@@ -108,5 +108,12 @@ def main(argv=None):
     return iou, miou
 
 
+def cli() -> int:
+    """Console-script entry point (pyproject [project.scripts]): discard
+    main()'s programmatic return value so setuptools' sys.exit() sees 0."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -415,5 +415,12 @@ def _run(args, preempted):
     return state
 
 
+def cli() -> int:
+    """Console-script entry point (pyproject [project.scripts]): discard
+    main()'s programmatic return value so setuptools' sys.exit() sees 0."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

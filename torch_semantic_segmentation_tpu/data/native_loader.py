@@ -20,8 +20,14 @@ import typing as tp
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libtpu_seg_loader.so"))
+# The shared lib lives in the source tree's native/ dir (built by its
+# Makefile on first use). For non-source-tree installs (`pip install .`
+# without -e), point TPU_SEG_NATIVE_LIB at a prebuilt .so.
+_NATIVE_DIR = os.environ.get(
+    "TPU_SEG_NATIVE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+_SO = os.environ.get("TPU_SEG_NATIVE_LIB", os.path.abspath(
+    os.path.join(_NATIVE_DIR, "libtpu_seg_loader.so")))
 
 _lib = None
 
