@@ -92,6 +92,13 @@ def aggregate(events: list[dict], raw: bool = False) -> collections.Counter:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["fullres", "crop"], default="fullres")
+    ap.add_argument("--model", default=None,
+                    help="trace any zoo model's train step instead of the "
+                         "bench FastSCNN tiers (768² crop aug from full-res, "
+                         "CE aux-weighted — scripts/bench_train_zoo.py's "
+                         "configuration); --mode is ignored")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--crop", type=int, default=None)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--raw", action="store_true",
@@ -108,13 +115,25 @@ def main() -> None:
 
         import bench
 
-        if args.mode == "fullres":
+        if args.model is not None:
+            from bench_train_zoo import CROP as ZCROP
+            from bench_train_zoo import build_zoo_step
+            crop = args.crop or ZCROP
+            batch = args.batch or 16
+            jstep, state = build_zoo_step(args.model, crop)
+            label = f"model={args.model} crop={crop}"
+        elif args.mode == "fullres":
             hw, batch, remat = (bench.HEIGHT, bench.WIDTH), \
                 bench.FULL_BATCH, bench.FULL_REMAT
+            jstep, state = bench.build_step(hw, remat)
+            batch = args.batch or batch
+            label = f"mode={args.mode}"
         else:
             hw, batch, remat = (bench.CROP, bench.CROP), \
                 bench.CROP_BATCH, bench.REMAT
-        jstep, state = bench.build_step(hw, remat)
+            jstep, state = bench.build_step(hw, remat)
+            batch = args.batch or batch
+            label = f"mode={args.mode}"
         rng = np.random.default_rng(0)
         ri = jnp.asarray(rng.integers(
             0, 256, (batch, bench.HEIGHT, bench.WIDTH, 3), dtype=np.uint8))
@@ -130,7 +149,7 @@ def main() -> None:
                 key, sub = jax.random.split(key)
                 state, metrics = jstep(state, ri, rl, sub)
             float(metrics["loss"])
-        print(f"# trace: {logdir}  mode={args.mode} b{batch} "
+        print(f"# trace: {logdir}  {label} b{batch} "
               f"steps={args.steps}")
 
     events = load_trace_events(logdir)
