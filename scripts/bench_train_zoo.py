@@ -42,6 +42,19 @@ WIDTH = int(os.environ.get("ZOO_W", "2048"))
 CROP = int(os.environ.get("ZOO_CROP", "768"))
 BATCH = int(os.environ.get("ZOO_BATCH", "32"))
 STEPS = int(os.environ.get("ZOO_STEPS", "10"))
+REMAT = bool(int(os.environ.get("ZOO_REMAT", "0")))
+
+# Measured per-model batch overrides (2026-08-19 sweep): the big-
+# activation models tip XLA into internal rematerialization at larger
+# batches (trace_ops shows *.remat recompute families), so a smaller
+# batch is FASTER per image: unet 32.9@b8 vs 25.7@b16 (b4 is dispatch-
+# bound at 12.4; jax.checkpoint remat at b8 is 26.6 — worse), erfnet
+# 64.6@b8 vs 41.7@b16, esnet 46.7@b8 vs 35.6@b16, lednet 52.8@b8 vs
+# 46.3@b16, deeplabv3_resnet50 113.5@b16 vs 93.1@b32. Probed and kept
+# at the default ladder: enet 70.0@b32 > 61.3@b16, bisenet 208.5@b32 >
+# 195.3@b16, deeplabv3_resnet101 91.8@b16 > 75.4@b8.
+PREFERRED_BATCH = {"unet": 8, "erfnet": 8, "esnet": 8, "lednet": 8,
+                   "deeplabv3_resnet50": 16}
 
 
 def build_zoo_step(name: str, crop: int):
@@ -57,7 +70,7 @@ def build_zoo_step(name: str, crop: int):
     gd_train, _, state = create_train_state(model, tx)
     loss_fn = build_loss("ce", ignore_index=255, aux_weight=0.4,
                          class_weights=None)
-    inner = make_train_step(gd_train, tx, loss_fn, jit=False)
+    inner = make_train_step(gd_train, tx, loss_fn, jit=False, remat=REMAT)
     aug_cfg = AugmentConfig(crop=(crop, crop), out_dtype=jnp.bfloat16)
 
     def step(state, raw_images, raw_labels, key):
@@ -68,7 +81,7 @@ def build_zoo_step(name: str, crop: int):
 
 
 def time_model(name: str, batch: int) -> tuple[float, int]:
-    for b in dict.fromkeys((batch, 16, 8)):
+    for b in dict.fromkeys((PREFERRED_BATCH.get(name, batch), 16, 8)):
         try:
             jstep, state = build_zoo_step(name, CROP)
             rng = np.random.default_rng(0)
