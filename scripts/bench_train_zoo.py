@@ -81,7 +81,12 @@ def build_zoo_step(name: str, crop: int):
 
 
 def time_model(name: str, batch: int) -> tuple[float, int]:
-    for b in dict.fromkeys((PREFERRED_BATCH.get(name, batch), 16, 8)):
+    # An explicit ZOO_BATCH beats the measured per-model table (so sweeps
+    # work); the OOM ladder only ever DESCENDS from the starting batch.
+    start = (batch if "ZOO_BATCH" in os.environ
+             else PREFERRED_BATCH.get(name, batch))
+    ladder = [b for b in dict.fromkeys((start, 16, 8)) if b <= start]
+    for b in ladder:
         try:
             jstep, state = build_zoo_step(name, CROP)
             rng = np.random.default_rng(0)

@@ -129,11 +129,11 @@ def main() -> None:
             batch = args.batch or batch
             label = f"mode={args.mode}"
         else:
-            hw, batch, remat = (bench.CROP, bench.CROP), \
-                bench.CROP_BATCH, bench.REMAT
+            crop = args.crop or bench.CROP
+            hw, batch, remat = (crop, crop), bench.CROP_BATCH, bench.REMAT
             jstep, state = bench.build_step(hw, remat)
             batch = args.batch or batch
-            label = f"mode={args.mode}"
+            label = f"mode={args.mode} crop={crop}"
         rng = np.random.default_rng(0)
         ri = jnp.asarray(rng.integers(
             0, 256, (batch, bench.HEIGHT, bench.WIDTH, 3), dtype=np.uint8))
@@ -157,6 +157,9 @@ def main() -> None:
     agg = aggregate(dev_events, raw=args.raw)
     total_us = sum(agg.values())
     n = args.steps
+    if args.logdir is not None:
+        print(f"# NOTE: parsing an existing trace — per-step numbers divide "
+              f"by --steps={n}; pass the step count the trace was taken with")
     print(f"# device track: {track}; total {total_us / 1e3 / n:.1f} ms/step "
           f"over {n} steps")
     print(f"{'ms/step':>9}  {'%':>5}  op family")

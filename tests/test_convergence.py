@@ -157,11 +157,8 @@ def test_eval_every_multi_scale_wiring(tmp_path, capsys):
                   "--eval-batches", "1", "--log-every", "1",
                   "--eval-multi-scale", "--eval-scales", "0.75", "1.0"])
     assert int(state.step) == 2
-    out = capsys.readouterr().out
-    assert out.count("val mIoU") >= 1
-    vals = [float(line.rsplit("mIoU", 1)[1].split()[0])
-            for line in out.splitlines() if "val mIoU" in line]
-    assert all(np.isfinite(v) and 0.0 <= v <= 100.0 for v in vals)
+    best = _best_miou(capsys)
+    assert np.isfinite(best) and 0.0 <= best <= 100.0
 
 
 @pytest.mark.slow

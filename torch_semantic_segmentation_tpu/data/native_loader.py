@@ -37,12 +37,21 @@ def _load_lib():
     if _lib is not None:
         return _lib
     if not os.path.exists(_SO):
+        # `make` builds into _NATIVE_DIR; it can only satisfy the default
+        # path. An env-pointed _SO that doesn't exist is just unavailable.
+        if _SO != os.path.abspath(
+                os.path.join(_NATIVE_DIR, "libtpu_seg_loader.so")):
+            raise RuntimeError(f"native loader unavailable: "
+                               f"TPU_SEG_NATIVE_LIB={_SO} does not exist")
         try:
             subprocess.run(["make"], cwd=os.path.abspath(_NATIVE_DIR),
                            check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError) as e:
             raise RuntimeError(f"native loader unavailable: {e}") from e
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:   # keep the documented transparent fallback path
+        raise RuntimeError(f"native loader unavailable: {e}") from e
     lib.loader_create.restype = ctypes.c_void_p
     lib.loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
