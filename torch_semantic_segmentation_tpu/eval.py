@@ -22,7 +22,10 @@ from torch_semantic_segmentation_tpu.ops.upsample import resize_bilinear_nhcw
 
 
 def _main_logits(outputs):
-    return outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+    from torch_semantic_segmentation_tpu.ops import packed_ops
+
+    out = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+    return packed_ops.as_nhwc(out)
 
 
 def make_multiscale_eval_step(

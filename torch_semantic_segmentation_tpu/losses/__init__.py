@@ -89,6 +89,15 @@ def cross_entropy_loss(
 
     logits NHWC (C = num classes), labels NHW int. Returns scalar fp32.
     """
+    from torch_semantic_segmentation_tpu.ops import packed_ops
+
+    if isinstance(logits, packed_ops.PackedLogits):
+        # packed-head models (ops/packed_ops.py): compute the loss in the
+        # W-packed layout so the full-res (…, C)-minor logits — which TPU
+        # tiling would lane-pad up to 128/C× — never materialize.
+        return packed_ops.packed_cross_entropy(
+            logits.data, labels, logits.c, ignore_index=ignore_index,
+            class_weights=class_weights)
     loss, valid = _per_pixel_ce(logits, labels, ignore_index)
     w = _pixel_weights(labels, valid, logits.shape[-1], class_weights)
     denom = jnp.maximum(jnp.sum(w), 1e-12)
@@ -148,8 +157,13 @@ def ohem_cross_entropy(
     (weighted by class_weights when given). `min_kept` is per *global* batch.
 
     exact=None auto-selects: exact top_k below 2^20 pixels, bisection
+    (packed-head logits are unpacked here — the OHEM selection math
+    runs in NHWC; route the fused path for a packed OHEM tail)
     quantile above (keeps the step free of giant sorts at 1024×2048).
     """
+    from torch_semantic_segmentation_tpu.ops import packed_ops
+
+    logits = packed_ops.as_nhwc(logits)
     loss, valid = _per_pixel_ce(logits, labels, ignore_index)
     flat = loss.reshape(-1)
     vflat = valid.reshape(-1)
@@ -347,7 +361,10 @@ def aux_weighted_loss(
     total = jnp.asarray(0.0, jnp.float32)
     for i, lg in enumerate(main_and_aux_logits):
         if lg.shape[1:3] != (lh, lw) and not handles_resize:
-            lg = resize_bilinear(lg, (lh, lw), align_corners=align_corners)
+            from torch_semantic_segmentation_tpu.ops import packed_ops
+
+            lg = resize_bilinear(packed_ops.as_nhwc(lg), (lh, lw),
+                                 align_corners=align_corners)
         li = loss_fn(lg, labels, **loss_kwargs)
         total = total + (li if i == 0 else aux_weight * li)
     return total

@@ -15,6 +15,7 @@ implementations (max-unpool is a vectorised one-hot placement, no scatter).
 
 from __future__ import annotations
 
+import os
 import typing as tp
 
 import jax
@@ -202,7 +203,69 @@ class ENet(nnx.Module):
         x = self.up5(x, idx1)
         for blk in self.stage5:
             x = blk(x)
+        if self._route_packed_head(x):
+            return self._packed_head(x)
         return self.fullconv(x)
+
+    # -- packed full-res head (ops/packed_ops.py) -------------------------
+    #
+    # The final transposed conv emits C=num_classes logits at FULL
+    # resolution; TPU tiling lane-pads that minor dim to 128 (6.7× at
+    # C=19), and the measured plain-CE tail on those padded tensors is
+    # 115 ms of a 456 ms b32/768² train step (scripts/diag_enet_parts.py).
+    # Routed, the deconv emits logits in a W-packed (N, H, W/P, P·C)
+    # layout as ONE standard XLA conv with a structured kernel, and the
+    # loss consumes them packed (losses.cross_entropy_loss PackedLogits
+    # path) — the padded full-res tensor never exists. Identical math up
+    # to float reassociation (tests/test_packed_enet.py).
+
+    def _route_packed_head(self, x: jax.Array) -> bool:
+        from torch_semantic_segmentation_tpu.ops import packed_ops
+
+        env = os.environ.get("TPU_SEG_PACKED_ENET")
+        if env == "0" or not packed_ops.enabled("TPU_SEG_PACKED_ENET"):
+            return False
+        # default routing: training mode only (eval consumers want NHWC
+        # and would pay an unpack relayout); env=1 forces routing in any
+        # mode — the CPU parity-test hook, like FASTSCNN_PACKED_LDS=1.
+        bn = getattr(self.down1.proj, "bn", None)
+        train_mode = bn is not None and not bn.use_running_average
+        if not (train_mode or env == "1"):
+            return False
+        return self._head_pack(x.shape[2]) is not None
+
+    def _head_pack(self, w_in: int) -> int | None:
+        """Output pack factor: best lane utilization of P·C among powers
+        of two whose deconv W-window step (P/2) divides the input width."""
+        c = self.fullconv.out_features
+        best, best_util = None, 0.0
+        for p in (8, 16, 32, 64):
+            if w_in % (p // 2) or p * c > 1280:
+                continue
+            util = (p * c) / (-(-p * c // 128) * 128)
+            if util > best_util + 1e-9:
+                best, best_util = p, util
+        return best
+
+    def _packed_head(self, x: jax.Array):
+        from torch_semantic_segmentation_tpu.ops import packed_ops
+
+        fc = self.fullconv
+        p_out = self._head_pack(x.shape[2])
+        plan = packed_ops.plan_packed_deconv(
+            fc.in_features, fc.out_features, tuple(fc.kernel.shape[:2]),
+            1, p_out, stride=fc.stride, padding=fc.padding,
+            output_padding=fc.output_padding)
+        k = fc.kernel[...]
+        if fc.dtype is not None:
+            x = x.astype(fc.dtype)
+            k = k.astype(fc.dtype)
+        else:
+            k = k.astype(x.dtype)
+        y = plan(x, k)
+        if fc.bias is not None:
+            y = y + jnp.tile(fc.bias[...], p_out).astype(y.dtype)
+        return packed_ops.PackedLogits(y, fc.out_features)
 
 
 def enet(num_classes: int = 19, *, dtype=None, param_dtype=jnp.float32,

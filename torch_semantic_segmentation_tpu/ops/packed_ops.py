@@ -1,0 +1,466 @@
+"""Generic W-packed layout toolkit (round-3 zoo perf work).
+
+`ops/packed_lds.py` fixed FastSCNN's lane-padding pathology with a
+model-specific W-packed `(N, H, W/P, P·C)` region of plain XLA convs.
+This module generalizes the machinery so OTHER small-channel models can
+run packed regions too — motivated by the measured ENet attribution
+(`scripts/diag_enet_parts.py`, b32 768²): the plain-CE tail on full-res
+C=19 logits is 115 ms of a 456 ms step, because every full-resolution
+tensor with C < 128 is lane-padded up to 128 in TPU tiled layout
+(logits 6.7×, C=16 stages 8×, ENet's C=4 mid tensors 32×).
+
+Pieces (all plain XLA — structured kernels scatter-built from the real
+weights so autodiff flows; no Mosaic custom calls, no layout pinning):
+
+- `plan_packed_conv`   stride-1/2, dilated, asymmetric, grouped conv in
+                       packed layout: ONE `lax.conv_general_dilated`
+                       over (H, W/P) with a (kh, Δpacks) window.
+- `plan_packed_deconv` torch-parity ConvTranspose2d emitting PACKED
+                       output from packed (p_in>1) or plain NHWC
+                       (p_in=1) input — lets a model's final
+                       full-res logit layer skip the padded layout
+                       entirely.
+- `packed_cross_entropy`  class-weighted CE with ignore_index computed
+                       directly on packed logits (matmul group-reduce
+                       logsumexp; no (…,C)-minor tensor is ever
+                       materialized). Numerics note in the docstring.
+- `PackedLogits`       pytree wrapper a model returns instead of NHWC
+                       logits when a packed head is routed; the losses
+                       consume it natively and `as_nhwc` unpacks it at
+                       any consumer that needs plain NHWC.
+- selection/placement matmuls for max-pool/unpool, channel concat and
+  channel pad — pooling windows and encoder→decoder index forwarding
+  without leaving the packed layout (ENet InitialBlock / down / up
+  bottlenecks).
+
+The reference counterpart of everything here is ordinary cuDNN NCHW
+convs + F.cross_entropy (SURVEY.md §2.2 op rows); the packed layout is
+purely a TPU lane-utilization strategy and is bit-compatible with the
+NHWC path up to float reassociation (see tests/test_packed_ops.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torch_semantic_segmentation_tpu.ops.packed_lds import (  # noqa: F401
+    pack, repack, unpack)
+
+# ---------------------------------------------------------------------------
+# generic structured-kernel conv plans
+
+
+@dataclasses.dataclass(frozen=True)
+class _Plan:
+    """A packed conv as one standard XLA conv: scatter plan + call params."""
+
+    kernel_shape: tuple[int, int, int, int]      # (kh, win, in_lanes, out_lanes)
+    th: np.ndarray                               # scatter indices (flat)
+    dd: np.ndarray
+    rows: np.ndarray
+    cols: np.ndarray
+    k_th: np.ndarray                             # gather indices into k (flat)
+    k_tw: np.ndarray
+    k_ci: np.ndarray
+    k_co: np.ndarray
+    window_strides: tuple[int, int]
+    padding: tuple[tuple[int, int], tuple[int, int]]
+    rhs_dilation: tuple[int, int]
+    lhs_dilation: tuple[int, int]
+
+    def kernel(self, k: jax.Array) -> jax.Array:
+        """Build the packed kernel from the layer's real HWIO weights.
+        Traced: grads flow back to `k` through the gather/scatter."""
+        vals = k[self.k_th, self.k_tw, self.k_ci, self.k_co]
+        pk = jnp.zeros(self.kernel_shape, k.dtype)
+        return pk.at[self.th, self.dd, self.rows, self.cols].add(vals)
+
+    def apply(self, xp: jax.Array, pk: jax.Array) -> jax.Array:
+        return jax.lax.conv_general_dilated(
+            xp, pk,
+            window_strides=self.window_strides,
+            padding=self.padding,
+            rhs_dilation=self.rhs_dilation,
+            lhs_dilation=self.lhs_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def __call__(self, xp: jax.Array, k: jax.Array) -> jax.Array:
+        return self.apply(xp, self.kernel(k))
+
+
+def _dense_indices(groups: int, c_in: int, c_out: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ci_full, ci_in_kernel, co) triples of the dense expansion of a
+    grouped HWIO kernel (kh, kw, c_in/groups, c_out)."""
+    cig = c_in // groups
+    cog = c_out // groups
+    ci_k, co = np.meshgrid(np.arange(cig), np.arange(c_out), indexing="ij")
+    ci_full = (co // cog) * cig + ci_k
+    return ci_full.ravel(), ci_k.ravel(), co.ravel()
+
+
+def plan_packed_conv(
+    c_in: int, c_out: int, kernel_size, p_in: int, p_out: int, *,
+    stride=(1, 1), dilation=(1, 1), padding=None, groups: int = 1,
+) -> _Plan:
+    """Forward conv, packed input (N,H,Wp,p_in·c_in) → packed output
+    (N,H_out,Wp,p_out·c_out), Wp constant.
+
+    Requires p_in == p_out·stride_w and W-size-preserving padding
+    (pw_l + pw_r == (kw-1)·dw − (sw−1)), which every conv in the zoo's
+    'same'-shaped architectures satisfies.
+    """
+    kh, kw = (kernel_size, kernel_size) if isinstance(kernel_size, int) \
+        else kernel_size
+    sh, sw = stride if isinstance(stride, tuple) else (stride, stride)
+    dh, dw = dilation if isinstance(dilation, tuple) else (dilation, dilation)
+    if padding is None:
+        padding = (dh * (kh - 1) // 2, dw * (kw - 1) // 2)
+    (ph,), (pw,) = ((padding[0],), (padding[1],)) if isinstance(padding, tuple) \
+        else ((padding,), (padding,))
+    if p_in != p_out * sw:
+        raise ValueError(f"p_in={p_in} must equal p_out*stride_w={p_out * sw}")
+    # NHWC floor arithmetic must give W_out == W/sw (the packed form's
+    # output count by construction), and every packed tap beyond the
+    # image edge must land within the NHWC zero-padding. Both reduce to:
+    if not 0 < (kw - 1) * dw + 1 - 2 * pw <= sw:
+        raise ValueError(
+            f"not W-preserving: kw={kw} dw={dw} sw={sw} pw={pw}")
+
+    # W-dim tap plan: output in-pack position q, tap t → input offset m
+    # relative to the output pack's aligned input pack start.
+    q = np.arange(p_out)
+    t = np.arange(kw)
+    qq, tt = np.meshgrid(q, t, indexing="ij")
+    m = sw * qq + dw * tt - pw                     # (p_out, kw)
+    delta = np.floor_divide(m, p_in)
+    r = m - delta * p_in
+    d_min, d_max = int(delta.min()), int(delta.max())
+    win = d_max - d_min + 1
+
+    ci_full, ci_k, co = _dense_indices(groups, c_in, c_out)
+    nch = ci_full.size
+    # outer product of the (q, t) plan with the channel triples
+    qt_n = qq.size
+    dd_w = (delta - d_min).ravel()
+    r_w = r.ravel()
+    t_w = tt.ravel()
+    q_w = qq.ravel()
+    dd = np.repeat(dd_w, nch)
+    rows = np.repeat(r_w, nch) * c_in + np.tile(ci_full, qt_n)
+    cols = np.repeat(q_w, nch) * c_out + np.tile(co, qt_n)
+    k_tw = np.repeat(t_w, nch)
+    k_ci = np.tile(ci_k, qt_n)
+    k_co = np.tile(co, qt_n)
+    # replicate across kh
+    e = dd.size
+    th = np.repeat(np.arange(kh), e)
+    return _Plan(
+        kernel_shape=(kh, win, p_in * c_in, p_out * c_out),
+        th=th, dd=np.tile(dd, kh), rows=np.tile(rows, kh),
+        cols=np.tile(cols, kh),
+        k_th=th, k_tw=np.tile(k_tw, kh), k_ci=np.tile(k_ci, kh),
+        k_co=np.tile(k_co, kh),
+        window_strides=(sh, 1),
+        padding=((ph, ph), (-d_min, d_max)),
+        rhs_dilation=(dh, 1),
+        lhs_dilation=(1, 1),
+    )
+
+
+def plan_packed_deconv(
+    c_in: int, c_out: int, kernel_size, p_in: int, p_out: int, *,
+    stride=(2, 2), padding=(1, 1), output_padding=(1, 1),
+) -> _Plan:
+    """torch ConvTranspose2d (exact parameterization of ops.conv
+    .ConvTranspose2d) emitting PACKED output.
+
+    p_in = 1 accepts plain NHWC input (the 'packed head' case: the
+    layer's input is an ordinary tensor but its full-res output goes
+    straight to the packed loss); p_in > 1 chains inside a packed
+    region with p_out == p_in·stride_w.
+    """
+    kh, kw = (kernel_size, kernel_size) if isinstance(kernel_size, int) \
+        else kernel_size
+    sh, sw = stride
+    ph, pw = padding
+    oph, opw = output_padding
+    if opw != sw + 2 * pw - kw:
+        raise ValueError(
+            f"not W-doubling-exact: opw={opw} != sw+2pw-kw={sw + 2 * pw - kw}")
+    if p_in > 1 and p_out != p_in * sw:
+        raise ValueError(f"p_out={p_out} must equal p_in*stride_w={p_in * sw}")
+    # torch relation: w_out = s*w_in - p + t  ⇒  w_in = (w_out + p - t)/s.
+    entries = []                                    # (q_out, t, m)
+    for qo in range(p_out):
+        for tap in range(kw):
+            num = qo + pw - tap
+            if num % sw:
+                continue
+            entries.append((qo, tap, num // sw))
+    q_w = np.array([e[0] for e in entries])
+    t_w = np.array([e[1] for e in entries])
+    m = np.array([e[2] for e in entries])
+    if p_in == 1:
+        # NHWC input: conv windows stride over W by p_out/sw positions
+        w_step = p_out // sw
+        delta = m                                   # each position its own pack
+        d_min, d_max = int(delta.min()), int(delta.max())
+        win = d_max - d_min + 1
+        r = np.zeros_like(delta)
+        eff_p_in = 1
+        w_stride = w_step
+        w_pad = (-d_min, d_max - (w_step - 1))
+    else:
+        delta = np.floor_divide(m, p_in)
+        r = m - delta * p_in
+        d_min, d_max = int(delta.min()), int(delta.max())
+        win = d_max - d_min + 1
+        eff_p_in = p_in
+        w_stride = 1
+        w_pad = (-d_min, d_max)
+
+    ci = np.arange(c_in)
+    co = np.arange(c_out)
+    cc_i, cc_o = np.meshgrid(ci, co, indexing="ij")
+    ci_f, co_f = cc_i.ravel(), cc_o.ravel()
+    nch = ci_f.size
+    e = q_w.size
+    dd = np.repeat(delta - d_min, nch)
+    rows = np.repeat(r, nch) * c_in + np.tile(ci_f, e)
+    cols = np.repeat(q_w, nch) * c_out + np.tile(co_f, e)
+    k_tw = np.repeat(t_w, nch)
+    k_ci = np.tile(ci_f, e)
+    k_co = np.tile(co_f, e)
+    n = dd.size
+    # H: lhs-dilated conv with the H-flipped kernel (mirrors
+    # ops.conv.ConvTranspose2d's padding (kh-1-ph, kh-1-ph+oph)).
+    th_scatter = np.repeat(np.arange(kh), n)
+    th_gather = np.repeat(kh - 1 - np.arange(kh), n)
+    return _Plan(
+        kernel_shape=(kh, win, eff_p_in * c_in, p_out * c_out),
+        th=th_scatter, dd=np.tile(dd, kh), rows=np.tile(rows, kh),
+        cols=np.tile(cols, kh),
+        k_th=th_gather, k_tw=np.tile(k_tw, kh), k_ci=np.tile(k_ci, kh),
+        k_co=np.tile(k_co, kh),
+        window_strides=(1, w_stride),
+        padding=((kh - 1 - ph, kh - 1 - ph + oph), w_pad),
+        rhs_dilation=(1, 1),
+        lhs_dilation=(sh, 1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# selection / placement matmuls (pool, unpool, concat, channel pad)
+
+
+def selection_matrix(c: int, p_in: int, positions: tp.Sequence[int],
+                     dtype=np.float32) -> np.ndarray:
+    """(p_in·c, len(positions)·c) 0/1 matrix extracting the given in-pack
+    W positions (a LINEAR op — rides the MXU instead of strided lane
+    slices, which relayout)."""
+    sel = np.zeros((p_in * c, len(positions) * c), dtype)
+    for j, p in enumerate(positions):
+        sel[p * c:(p + 1) * c, j * c:(j + 1) * c] = np.eye(c, dtype=dtype)
+    return sel
+
+
+def placement_matrix(c_from: int, c_to: int, offset: int, p: int,
+                     dtype=np.float32) -> np.ndarray:
+    """(p·c_from, p·c_to) matrix placing a c_from-channel packed tensor
+    into channel slot [offset, offset+c_from) of a c_to-channel packed
+    tensor — channel concat and zero-pad as one matmul each."""
+    m = np.zeros((p * c_from, p * c_to), dtype)
+    for j in range(p):
+        m[j * c_from:(j + 1) * c_from,
+          j * c_to + offset:j * c_to + offset + c_from] = np.eye(
+              c_from, dtype=dtype)
+    return m
+
+
+def packed_channel_concat(parts: tp.Sequence[tuple[jax.Array, int]],
+                          p: int) -> jax.Array:
+    """Concat packed tensors along the logical channel dim."""
+    c_to = sum(c for _, c in parts)
+    out = None
+    off = 0
+    for x, c in parts:
+        mat = jnp.asarray(placement_matrix(c, c_to, off, p), x.dtype)
+        y = x @ mat
+        out = y if out is None else out + y
+        off += c
+    return out
+
+
+def packed_max_pool2x2_indices(x: jax.Array, c: int
+                               ) -> tuple[jax.Array, jax.Array]:
+    """2×2/s2 max pool with window-argmax on a packed tensor.
+
+    Input (N,H,Wp,p·c) → (pooled (N,H/2,Wp,(p/2)·c), idx uint8 ∈ [0,4)).
+    Index ordering matches ops.pool.max_pool2x2_with_indices (row-major
+    within the window, ties → first), so indices round-trip through
+    `packed_max_unpool2x2` exactly like the NHWC pair — including
+    cross-tensor forwarding (ENet encoder→decoder).
+    """
+    n, h, wp, pc = x.shape
+    p = pc // c
+    ev = jnp.asarray(selection_matrix(c, p, range(0, p, 2)), x.dtype)
+    od = jnp.asarray(selection_matrix(c, p, range(1, p, 2)), x.dtype)
+    r0, r1 = x[:, 0::2], x[:, 1::2]
+    cand = (r0 @ ev, r0 @ od, r1 @ ev, r1 @ od)     # torch window order
+    best = cand[0]
+    idx = jnp.zeros(best.shape, jnp.uint8)
+    for k in (1, 2, 3):
+        take = cand[k] > best                        # strict: ties keep first
+        best = jnp.where(take, cand[k], best)
+        idx = jnp.where(take, jnp.uint8(k), idx)
+    return best, idx
+
+
+def packed_max_unpool2x2(x: jax.Array, idx: jax.Array, c: int) -> jax.Array:
+    """Inverse of `packed_max_pool2x2_indices`: place each value at its
+    recorded 2×2 window position. (N,H2,Wp,p·c) → (N,2·H2,Wp,2p·c)."""
+    n, h2, wp, pc = x.shape
+    p = pc // c
+    ev_t = jnp.asarray(selection_matrix(c, 2 * p, range(0, 2 * p, 2)).T,
+                       x.dtype)
+    od_t = jnp.asarray(selection_matrix(c, 2 * p, range(1, 2 * p, 2)).T,
+                       x.dtype)
+    rows = []
+    for h_off, mats in ((0, (ev_t, od_t)), (1, (ev_t, od_t))):
+        contrib = None
+        for w_par, mat in enumerate(mats):
+            k = 2 * h_off + w_par
+            v = jnp.where(idx == k, x, jnp.zeros_like(x)) @ mat
+            contrib = v if contrib is None else contrib + v
+        rows.append(contrib)
+    # interleave H: (N, H2, 2, Wp, 2p·c) → (N, 2·H2, Wp, 2p·c)
+    y = jnp.stack(rows, axis=2)
+    return y.reshape(n, 2 * h2, wp, 2 * pc)
+
+
+def packed_prelu(alpha: jax.Array, x: jax.Array, c: int) -> jax.Array:
+    """PReLU with per-channel slope on a packed tensor."""
+    p = x.shape[-1] // c
+    a = jnp.tile(alpha, p).astype(x.dtype) if alpha.shape[0] == c \
+        else alpha.astype(x.dtype)
+    return jnp.where(x >= 0, x, a * x)
+
+
+# ---------------------------------------------------------------------------
+# packed cross-entropy
+
+
+def packed_cross_entropy(
+    logits: jax.Array, labels: jax.Array, c: int, *,
+    ignore_index: int = 255, class_weights=None,
+) -> jax.Array:
+    """Class-weighted CE with ignore_index on PACKED logits
+    (N,H,Wp,P·C); labels (N,H,W) int. torch F.cross_entropy semantics
+    (weighted mean over non-ignored pixels), matching
+    losses.cross_entropy_loss.
+
+    The per-pixel logsumexp is stabilized by the PER-PACK max (max over
+    the P pixels × C classes sharing a lane row) instead of the
+    per-pixel max: exact unless exp(l − M_pack) underflows f32, i.e.
+    unless adjacent-pixel logit spread exceeds ~85 nats — far beyond any
+    trained or trainable network (and the failure mode is a visible
+    inf loss, not silent corruption). Everything is elementwise + two
+    (P·C, P)-shaped matmuls, so no (…, C)-minor tensor — which TPU
+    tiling would pad to 128 lanes — is ever materialized.
+    """
+    n, h, wp, pc = logits.shape
+    p = pc // c
+    lp = logits.astype(jnp.float32)
+    lab = labels.reshape(n, h, wp, p)
+    valid = lab != ignore_index
+    safe = jnp.where(valid, lab, 0).astype(jnp.int32)
+
+    m = jax.lax.stop_gradient(jnp.max(lp, axis=-1, keepdims=True))
+    e = jnp.exp(lp - m)
+    gsum = jnp.asarray(np.kron(np.eye(p, dtype=np.float32),
+                               np.ones((c, 1), np.float32)))
+    s = e @ gsum                                     # (n,h,wp,p)
+    lse = jnp.log(s) + m                             # per-pixel logsumexp
+
+    lane_class = jnp.asarray(np.tile(np.arange(c), p))
+    lab_rep = jnp.broadcast_to(safe[..., None],
+                               (n, h, wp, p, c)).reshape(n, h, wp, pc)
+    onehot = (lane_class[None, None, None] == lab_rep).astype(jnp.float32)
+    true_logit = (lp * onehot) @ gsum                # (n,h,wp,p)
+
+    loss_px = jnp.where(valid, lse - true_logit, 0.0)
+    if class_weights is None:
+        w = valid.astype(jnp.float32)
+    else:
+        cw = jnp.tile(jnp.asarray(class_weights, jnp.float32), p)
+        w = jnp.where(valid, (onehot * cw) @ gsum, 0.0)
+    denom = jnp.maximum(jnp.sum(w), 1e-12)
+    return jnp.sum(loss_px * w) / denom
+
+
+# ---------------------------------------------------------------------------
+# PackedLogits: the model→loss contract for packed heads
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedLogits:
+    """Full-resolution logits kept in packed layout between a model's
+    packed head and the loss. `.shape` reports the LOGICAL NHWC shape so
+    size checks (aux_weighted_loss) work unchanged; `unpack()` realizes
+    the plain NHWC tensor (one relayout — only consumers that truly
+    need NHWC, e.g. eval argmax off the packed path, should call it,
+    via `as_nhwc`)."""
+
+    data: jax.Array          # (N, H, Wp, P·C)
+    c: int                   # static: logical channel count
+
+    @property
+    def shape(self) -> tuple[int, int, int, int]:
+        n, h, wp, pc = self.data.shape
+        return (n, h, wp * (pc // self.c), self.c)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def ndim(self) -> int:
+        return 4
+
+    def unpack(self) -> jax.Array:
+        return unpack(self.data, self.c)
+
+    def tree_flatten(self):
+        return (self.data,), self.c
+
+    @classmethod
+    def tree_unflatten(cls, c, children):
+        return cls(children[0], c)
+
+
+def as_nhwc(logits) -> jax.Array:
+    """Coerce a model output (array or PackedLogits) to plain NHWC."""
+    if isinstance(logits, PackedLogits):
+        return logits.unpack()
+    return logits
+
+
+def enabled(var: str = "TPU_SEG_PACKED") -> bool:
+    """Routing default for packed regions/heads: on for TPU backends;
+    `TPU_SEG_PACKED=1/0` (or a model-specific var) overrides."""
+    env = os.environ.get(var)
+    if env is not None:
+        return env != "0"
+    env = os.environ.get("TPU_SEG_PACKED")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "tpu"

@@ -56,6 +56,9 @@ def make_predict_fn(
         logits = m(x)
         if isinstance(logits, (tuple, list)):
             logits = logits[0]
+        from torch_semantic_segmentation_tpu.ops import packed_ops
+
+        logits = packed_ops.as_nhwc(logits)
         size = (frames.shape[1], frames.shape[2])
         low_res = (logits.shape[1], logits.shape[2]) != size
         if output == "ids":

@@ -170,6 +170,9 @@ def make_eval_step(graphdef_eval: nnx.GraphDef, *, num_classes: int,
         logits = model(images)
         if isinstance(logits, (tuple, list)):
             logits = logits[0]
+        from torch_semantic_segmentation_tpu.ops import packed_ops
+
+        logits = packed_ops.as_nhwc(logits)
         if logits.shape[1:3] != labels.shape[1:3]:
             # upsample_logits=False model: fused lane-major upsample+argmax
             preds = resize_argmax(
