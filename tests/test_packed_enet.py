@@ -76,6 +76,43 @@ def test_packed_head_off_in_eval_mode_by_default(monkeypatch):
     assert isinstance(m(x), jax.Array)
 
 
+@pytest.mark.parametrize("name", ["erfnet", "esnet"])
+def test_packed_head_erfnet_esnet_parity(name, monkeypatch):
+    """ERFNet/ESNet route the same shared packed head
+    (packed_ops.apply_packed_deconv_head) on their k2/s2 output deconv;
+    forward + loss-grad parity vs the plain path."""
+    from torch_semantic_segmentation_tpu.models import get_model
+
+    var = f"TPU_SEG_PACKED_{name.upper()}"
+    monkeypatch.setenv(var, "1")
+    m = get_model(name, num_classes=19, rngs=nnx.Rngs(0))
+    m.eval()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 3), jnp.float32)
+    out_p = m(x)
+    assert isinstance(out_p, PackedLogits), "env=1 must force routing"
+    monkeypatch.setenv(var, "0")
+    out_ref = m(x)
+    assert out_p.shape == out_ref.shape
+    np.testing.assert_allclose(out_p.unpack(), out_ref, rtol=1e-4, atol=1e-4)
+
+    monkeypatch.setenv(var, "1")
+    gd, params, rest = nnx.split(m, nnx.Param, ...)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (1, 16, 32), 0, 19)
+    labels = labels.at[0, 0].set(255)
+
+    def loss_of(params):
+        model = nnx.merge(gd, params, rest)
+        return cross_entropy_loss(model(x), labels)
+
+    lp, gp = jax.value_and_grad(loss_of)(params)
+    monkeypatch.setenv(var, "0")
+    lr, gr = jax.value_and_grad(loss_of)(params)
+    np.testing.assert_allclose(lp, lr, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
 @pytest.mark.parametrize("w", [24, 40, 56, 64])
 def test_packed_head_any_valid_width(env_packed, w):
     """Every ENet-legal width (W % 8 == 0) has a legal pack: the head

@@ -15,7 +15,6 @@ implementations (max-unpool is a vectorised one-hot placement, no scatter).
 
 from __future__ import annotations
 
-import os
 import typing as tp
 
 import jax
@@ -222,50 +221,19 @@ class ENet(nnx.Module):
     def _route_packed_head(self, x: jax.Array) -> bool:
         from torch_semantic_segmentation_tpu.ops import packed_ops
 
-        env = os.environ.get("TPU_SEG_PACKED_ENET")
-        if env == "0" or not packed_ops.enabled("TPU_SEG_PACKED_ENET"):
-            return False
-        # default routing: training mode only (eval consumers want NHWC
-        # and would pay an unpack relayout); env=1 forces routing in any
-        # mode — the CPU parity-test hook, like FASTSCNN_PACKED_LDS=1.
         bn = getattr(self.down1.proj, "bn", None)
         train_mode = bn is not None and not bn.use_running_average
-        if not (train_mode or env == "1"):
+        if not packed_ops.route_packed_head("TPU_SEG_PACKED_ENET",
+                                            train_mode):
             return False
-        return self._head_pack(x.shape[2]) is not None
-
-    def _head_pack(self, w_in: int) -> int | None:
-        """Output pack factor: best lane utilization of P·C among powers
-        of two whose deconv W-window step (P/2) divides the input width."""
-        c = self.fullconv.out_features
-        best, best_util = None, 0.0
-        for p in (8, 16, 32, 64):
-            if w_in % (p // 2) or p * c > 1280:
-                continue
-            util = (p * c) / (-(-p * c // 128) * 128)
-            if util > best_util + 1e-9:
-                best, best_util = p, util
-        return best
+        return packed_ops.pick_head_pack(
+            self.fullconv.out_features, x.shape[2],
+            self.fullconv.stride[1]) is not None
 
     def _packed_head(self, x: jax.Array):
         from torch_semantic_segmentation_tpu.ops import packed_ops
 
-        fc = self.fullconv
-        p_out = self._head_pack(x.shape[2])
-        plan = packed_ops.plan_packed_deconv(
-            fc.in_features, fc.out_features, tuple(fc.kernel.shape[:2]),
-            1, p_out, stride=fc.stride, padding=fc.padding,
-            output_padding=fc.output_padding)
-        k = fc.kernel[...]
-        if fc.dtype is not None:
-            x = x.astype(fc.dtype)
-            k = k.astype(fc.dtype)
-        else:
-            k = k.astype(x.dtype)
-        y = plan(x, k)
-        if fc.bias is not None:
-            y = y + jnp.tile(fc.bias[...], p_out).astype(y.dtype)
-        return packed_ops.PackedLogits(y, fc.out_features)
+        return packed_ops.apply_packed_deconv_head(self.fullconv, x)
 
 
 def enet(num_classes: int = 19, *, dtype=None, param_dtype=jnp.float32,

@@ -116,6 +116,20 @@ class ERFNet(nnx.Module):
             x = blk(x)
         for blk in self.decoder:
             x = blk(x)
+        # Packed full-res head (ops/packed_ops.py): the k2/s2 output
+        # deconv emits C=num_classes logits at FULL resolution, which TPU
+        # tiling lane-pads 128/C× (6.7× at C=19). Routed (training mode on
+        # TPU; TPU_SEG_PACKED_ERFNET overrides), the deconv emits
+        # W-packed PackedLogits the loss consumes natively — identical
+        # math up to float reassociation (tests/test_packed_enet.py).
+        from torch_semantic_segmentation_tpu.ops import packed_ops
+
+        bn = self.encoder[0].bn
+        if packed_ops.route_packed_head("TPU_SEG_PACKED_ERFNET",
+                                        not bn.use_running_average):
+            y = packed_ops.apply_packed_deconv_head(self.output_conv, x)
+            if y is not None:
+                return y
         return self.output_conv(x)
 
 

@@ -116,6 +116,16 @@ class ESNet(nnx.Module):
             x = blk(x)
         for blk in self.decoder:
             x = blk(x)
+        # Packed full-res head — same routing as ERFNet (models/erfnet.py);
+        # TPU_SEG_PACKED_ESNET overrides.
+        from torch_semantic_segmentation_tpu.ops import packed_ops
+
+        bn = self.encoder[0].bn
+        if packed_ops.route_packed_head("TPU_SEG_PACKED_ESNET",
+                                        not bn.use_running_average):
+            y = packed_ops.apply_packed_deconv_head(self.output_conv, x)
+            if y is not None:
+                return y
         return self.output_conv(x)
 
 

@@ -454,6 +454,57 @@ def as_nhwc(logits) -> jax.Array:
     return logits
 
 
+def pick_head_pack(c_out: int, w_in: int, stride_w: int,
+                   max_lanes: int = 1280) -> int | None:
+    """Output pack factor for a packed deconv head: best lane utilization
+    of P·C among powers of two whose W-window step (P/stride_w) divides
+    the input width. None when no factor fits (odd widths, huge C)."""
+    best, best_util = None, 0.0
+    for p in (8, 16, 32, 64):
+        step = p // stride_w
+        if step == 0 or w_in % step or p * c_out > max_lanes:
+            continue
+        util = (p * c_out) / (-(-p * c_out // 128) * 128)
+        if util > best_util + 1e-9:
+            best, best_util = p, util
+    return best
+
+
+def route_packed_head(env_var: str, train_mode: bool) -> bool:
+    """Shared routing rule for packed full-res heads: on by default on
+    TPU in TRAINING mode only (eval consumers want NHWC and would pay an
+    unpack relayout); `<env_var>=1` forces routing in any mode — the CPU
+    parity-test hook — and `<env_var>=0` (or TPU_SEG_PACKED=0) kills it."""
+    env = os.environ.get(env_var)
+    if env == "0" or not enabled(env_var):
+        return False
+    return train_mode or env == "1"
+
+
+def apply_packed_deconv_head(fc, x: jax.Array) -> "PackedLogits | None":
+    """Run an `ops.conv.ConvTranspose2d` head on plain NHWC input,
+    emitting PackedLogits (the p_in=1 deconv plan). Returns None when no
+    pack factor fits the input width — callers fall back to the plain
+    layer. Shared by the ENet/ERFNet/ESNet packed heads."""
+    p_out = pick_head_pack(fc.out_features, x.shape[2], fc.stride[1])
+    if p_out is None:
+        return None
+    plan = plan_packed_deconv(
+        fc.in_features, fc.out_features, tuple(fc.kernel.shape[:2]),
+        1, p_out, stride=fc.stride, padding=fc.padding,
+        output_padding=fc.output_padding)
+    k = fc.kernel[...]
+    if fc.dtype is not None:
+        x = x.astype(fc.dtype)
+        k = k.astype(fc.dtype)
+    else:
+        k = k.astype(x.dtype)
+    y = plan(x, k)
+    if fc.bias is not None:
+        y = y + jnp.tile(fc.bias[...], p_out).astype(y.dtype)
+    return PackedLogits(y, fc.out_features)
+
+
 def enabled(var: str = "TPU_SEG_PACKED") -> bool:
     """Routing default for packed regions/heads: on for TPU backends;
     `TPU_SEG_PACKED=1/0` (or a model-specific var) overrides."""
