@@ -187,6 +187,9 @@ class ENet(nnx.Module):
             raise ValueError(
                 f"ENet needs H and W divisible by 8 (3 stride-2 stages with "
                 f"max-unpool index forwarding); got {h}x{w}")
+        if self._route_packed_body(x):
+            from torch_semantic_segmentation_tpu.ops import packed_enet
+            return packed_enet.forward(self, x)
         x = self.initial(x)
         x, idx1 = self.down1(x)
         for blk in self.stage1:
@@ -217,6 +220,21 @@ class ENet(nnx.Module):
     # loss consumes them packed (losses.cross_entropy_loss PackedLogits
     # path) — the padded full-res tensor never exists. Identical math up
     # to float reassociation (tests/test_packed_enet.py).
+
+    def _route_packed_body(self, x: jax.Array) -> bool:
+        """Whole-network packed region (ops/packed_enet.py): every /2
+        and /4 activation rides the W-packed layout, not just the final
+        logits. Same routing contract as the head (training mode on
+        TPU; TPU_SEG_PACKED_ENET_BODY overrides); the head-only route
+        below stays as the fallback for unsupported widths."""
+        from torch_semantic_segmentation_tpu.ops import packed_enet, packed_ops
+
+        bn = getattr(self.down1.proj, "bn", None)
+        train_mode = bn is not None and not bn.use_running_average
+        if not packed_ops.route_packed_head("TPU_SEG_PACKED_ENET_BODY",
+                                            train_mode):
+            return False
+        return packed_enet.supports(self, x.shape)
 
     def _route_packed_head(self, x: jax.Array) -> bool:
         from torch_semantic_segmentation_tpu.ops import packed_ops
