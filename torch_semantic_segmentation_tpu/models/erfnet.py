@@ -112,6 +112,18 @@ class ERFNet(nnx.Module):
         h, w = x.shape[1], x.shape[2]
         if h % 8 or w % 8:
             raise ValueError(f"ERFNet needs H and W divisible by 8; got {h}x{w}")
+        # Whole-network packed region (ops/packed_erf.py): every /2 and
+        # /4 activation rides the W-packed layout, not just the final
+        # logits. Same routing contract as the head (training mode on
+        # TPU; TPU_SEG_PACKED_ERFNET_BODY overrides); the head-only
+        # route below stays as the fallback for unsupported widths.
+        from torch_semantic_segmentation_tpu.ops import packed_erf, packed_ops
+
+        train_mode = not self.encoder[0].bn.use_running_average
+        if (packed_ops.route_packed_head("TPU_SEG_PACKED_ERFNET_BODY",
+                                         train_mode)
+                and packed_erf.supports(self, x.shape)):
+            return packed_erf.forward(self, x)
         for blk in self.encoder:
             x = blk(x)
         for blk in self.decoder:

@@ -112,6 +112,15 @@ class ESNet(nnx.Module):
         h, w = x.shape[1], x.shape[2]
         if h % 8 or w % 8:
             raise ValueError(f"ESNet needs H and W divisible by 8; got {h}x{w}")
+        # Whole-network packed region — shared ERFNet-family walker
+        # (ops/packed_erf.py); TPU_SEG_PACKED_ESNET_BODY overrides.
+        from torch_semantic_segmentation_tpu.ops import packed_erf, packed_ops
+
+        train_mode = not self.encoder[0].bn.use_running_average
+        if (packed_ops.route_packed_head("TPU_SEG_PACKED_ESNET_BODY",
+                                         train_mode)
+                and packed_erf.supports(self, x.shape)):
+            return packed_erf.forward(self, x)
         for blk in self.encoder:
             x = blk(x)
         for blk in self.decoder:
