@@ -1,0 +1,93 @@
+"""Packed resize head: routed vs standard path parity across the zoo.
+
+Every model whose final layer is `resize_bilinear(logits, (H, W))`
+(LEDNet APN, BiSeNet incl. aux heads, ContextNet, DeepLab, ICNet,
+FastSCNN) can emit the full-res logits W-packed instead
+(packed_ops.apply_packed_resize_head) — same bilinear math (same
+interpolation matrices, same contractions), just never materializing
+the 6.7×-lane-padded (…, C=19) full-res tensor. Reference counterpart:
+torch F.interpolate on NCHW logits (SURVEY.md §2.2 "Bilinear
+upsample"); the packed layout is purely a TPU lane strategy."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from torch_semantic_segmentation_tpu.losses import (
+    aux_weighted_loss, cross_entropy_loss)
+from torch_semantic_segmentation_tpu.models import get_model
+from torch_semantic_segmentation_tpu.ops.packed_ops import PackedLogits
+
+# (registry name, env var, #full-res outputs when routed)
+CASES = [
+    ("lednet", "TPU_SEG_PACKED_LEDNET", 1),
+    ("bisenet", "TPU_SEG_PACKED_BISENET", 3),   # main + 2 aux, all full-res
+    ("contextnet", "TPU_SEG_PACKED_CONTEXTNET", 1),  # aux heads stay low-res
+    ("deeplabv3_resnet18", "TPU_SEG_PACKED_DEEPLAB", 1),
+    ("icnet", "TPU_SEG_PACKED_ICNET", 1),
+    ("fastscnn", "TPU_SEG_PACKED_FASTSCNN", 1),
+]
+
+
+def _outputs(out):
+    return list(out) if isinstance(out, (tuple, list)) else [out]
+
+
+@pytest.mark.parametrize("name,var,n_packed", CASES)
+def test_packed_resize_head_parity(name, var, n_packed, monkeypatch):
+    """Forced routing (eval mode): every full-res output is PackedLogits
+    and matches the plain resize path; loss + parameter gradients match
+    within reassociation tolerance (the packed region is only the head,
+    so fp32 noise does not amplify through BN chains — same tolerances
+    as the ENet packed-head tests)."""
+    monkeypatch.setenv(var, "1")
+    m = get_model(name, num_classes=19, rngs=nnx.Rngs(0))
+    m.eval()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 64, 3), jnp.float32)
+    out_p = _outputs(m(x))
+    packed = [o for o in out_p if isinstance(o, PackedLogits)]
+    assert len(packed) == n_packed, "env=1 must force head routing"
+    assert isinstance(out_p[0], PackedLogits)
+    assert out_p[0].shape == (1, 32, 64, 19)
+
+    monkeypatch.setenv(var, "0")
+    out_ref = _outputs(m(x))
+    for op, orf in zip(out_p, out_ref):
+        a = op.unpack() if isinstance(op, PackedLogits) else op
+        np.testing.assert_allclose(a, orf, rtol=1e-4, atol=1e-4)
+
+    monkeypatch.setenv(var, "1")
+    gd, params, rest = nnx.split(m, nnx.Param, ...)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (1, 32, 64), 0, 19)
+    labels = labels.at[0, 0].set(255)
+
+    def loss_of(params):
+        model = nnx.merge(gd, params, rest)
+        out = model(x)
+        if isinstance(out, (tuple, list)):
+            return aux_weighted_loss(out, labels)
+        return cross_entropy_loss(out, labels)
+
+    lp, gp = jax.value_and_grad(loss_of)(params)
+    monkeypatch.setenv(var, "0")
+    lr, gr = jax.value_and_grad(loss_of)(params)
+    np.testing.assert_allclose(lp, lr, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_packed_resize_head_off_when_no_pack_fits(monkeypatch):
+    """num_classes large enough that even the smallest pack exceeds the
+    lane-row budget (8·200 > 1280) → apply_packed_resize_head returns
+    None and the model falls back to the plain NHWC resize."""
+    monkeypatch.setenv("TPU_SEG_PACKED_LEDNET", "1")
+    m = get_model("lednet", num_classes=200, rngs=nnx.Rngs(0))
+    m.eval()
+    x = jnp.zeros((1, 16, 32, 3), jnp.float32)
+    out = m(x)
+    assert isinstance(out, jax.Array) and out.shape == (1, 16, 32, 200)

@@ -156,16 +156,26 @@ class BiSeNet(nnx.Module):
         sp = self.spatial(x)
         cp8, cp16 = self.context(x)
         y = self.head(self.ffm(sp, cp8))
+        # Packed resize head (ops/packed_ops.py): full-res C=19 logits
+        # are 6.7× lane-padded in plain NHWC; routed (training on TPU;
+        # TPU_SEG_PACKED_BISENET overrides) the ×8 upsample emits
+        # W-packed PackedLogits — main and both aux heads.
+        from torch_semantic_segmentation_tpu.ops import packed_ops
+
+        def _up(t):
+            return packed_ops.maybe_packed_resize(
+                t, (h, w), align_corners=self.align_corners,
+                env_var="TPU_SEG_PACKED_BISENET",
+                train_mode=packed_ops.module_train_mode(self))
+
         if self.upsample_logits:
-            y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
+            y = _up(y)
         if self.aux:
             a16 = self.aux_head16(cp8)
             a32 = self.aux_head32(cp16)
             if self.upsample_logits:
-                a16 = resize_bilinear(a16, (h, w),
-                                      align_corners=self.align_corners)
-                a32 = resize_bilinear(a32, (h, w),
-                                      align_corners=self.align_corners)
+                a16 = _up(a16)
+                a32 = _up(a32)
             return y, a16, a32
         return y
 

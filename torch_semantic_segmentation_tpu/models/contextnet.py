@@ -112,7 +112,14 @@ class ContextNet(nnx.Module):
         fused = self.ffm(detail, context)                       # 1/8
         y = self.classifier(fused)
         if self.upsample_logits:
-            y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
+            # Packed resize head — shared zoo tail (ops/packed_ops.py);
+            # TPU_SEG_PACKED_CONTEXTNET overrides.
+            from torch_semantic_segmentation_tpu.ops import packed_ops
+
+            y = packed_ops.maybe_packed_resize(
+                y, (h, w), align_corners=self.align_corners,
+                env_var="TPU_SEG_PACKED_CONTEXTNET",
+                train_mode=packed_ops.module_train_mode(self))
         if self.aux:
             return y, self.aux_detail(detail), self.aux_context(context)
         return y

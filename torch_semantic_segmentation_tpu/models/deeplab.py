@@ -61,7 +61,14 @@ class DeepLabV3(nnx.Module):
         _, _, c3, c4 = self.backbone(x)
         y = self.classifier(self.dropout(self.aspp(c4)))
         if self.upsample_logits:
-            y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
+            # Packed resize head — shared zoo tail (ops/packed_ops.py);
+            # TPU_SEG_PACKED_DEEPLAB overrides.
+            from torch_semantic_segmentation_tpu.ops import packed_ops
+
+            y = packed_ops.maybe_packed_resize(
+                y, (h, w), align_corners=self.align_corners,
+                env_var="TPU_SEG_PACKED_DEEPLAB",
+                train_mode=packed_ops.module_train_mode(self))
         if self.aux:
             return y, self.aux_head(c3)
         return y

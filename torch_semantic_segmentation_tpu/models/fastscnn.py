@@ -179,8 +179,16 @@ class FastSCNN(nnx.Module):
         fused = self.ffm(hi, lo)       # 1/8
         logits = self.classifier(fused)
         if self.upsample_logits:
-            logits = resize_bilinear(logits, (h, w),
-                                     align_corners=self.align_corners)
+            # Packed resize head — shared zoo tail (ops/packed_ops.py);
+            # TPU_SEG_PACKED_FASTSCNN overrides. (The headline bench
+            # path uses upsample_logits=False + the fused Pallas
+            # resize-CE loss and never reaches this.)
+            from torch_semantic_segmentation_tpu.ops import packed_ops
+
+            logits = packed_ops.maybe_packed_resize(
+                logits, (h, w), align_corners=self.align_corners,
+                env_var="TPU_SEG_PACKED_FASTSCNN",
+                train_mode=packed_ops.module_train_mode(self))
         if self.aux:
             return logits, self.aux_lds(hi), self.aux_gfe(lo)
         return logits

@@ -135,7 +135,14 @@ class ICNet(nnx.Module):
         y = resize_bilinear(fused1, (h // 4, w // 4), align_corners=ac)
         y = self.classifier(y)
         if self.upsample_logits:
-            y = resize_bilinear(y, (h, w), align_corners=ac)
+            # Packed resize head — shared zoo tail (ops/packed_ops.py);
+            # TPU_SEG_PACKED_ICNET overrides.
+            from torch_semantic_segmentation_tpu.ops import packed_ops
+
+            y = packed_ops.maybe_packed_resize(
+                y, (h, w), align_corners=ac,
+                env_var="TPU_SEG_PACKED_ICNET",
+                train_mode=packed_ops.module_train_mode(self))
         if self.aux:
             a2 = self.aux_cls2(low_up2)                      # 1/16 grid
             a1 = self.aux_cls1(low_up1)                      # 1/8 grid

@@ -156,7 +156,17 @@ class LEDNet(nnx.Module):
             x = blk(x)
         y = self.apn(x)
         if self.upsample_logits:
-            y = resize_bilinear(y, (h, w), align_corners=self.align_corners)
+            # Packed resize head (ops/packed_ops.py): the ×8 bilinear
+            # upsample of C=19 logits otherwise materializes a 6.7×
+            # lane-padded full-res tensor; routed (training on TPU;
+            # TPU_SEG_PACKED_LEDNET overrides) it emits W-packed
+            # PackedLogits the loss consumes natively.
+            from torch_semantic_segmentation_tpu.ops import packed_ops
+
+            return packed_ops.maybe_packed_resize(
+                y, (h, w), align_corners=self.align_corners,
+                env_var="TPU_SEG_PACKED_LEDNET",
+                train_mode=packed_ops.module_train_mode(self))
         return y
 
 

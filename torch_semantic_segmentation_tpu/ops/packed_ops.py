@@ -505,6 +505,75 @@ def apply_packed_deconv_head(fc, x: jax.Array) -> "PackedLogits | None":
     return PackedLogits(y, fc.out_features)
 
 
+def module_train_mode(module) -> bool:
+    """True when the module's BatchNorms run in batch-stats (training)
+    mode — the shared routing signal for packed heads (eval consumers
+    want plain NHWC). Checks the first BatchNorm found; nnx's
+    train()/eval() flip them all together."""
+    from flax import nnx
+
+    for _, sub in nnx.iter_modules(module):
+        if isinstance(sub, nnx.BatchNorm):
+            return not sub.use_running_average
+    return False
+
+
+def apply_packed_resize_head(y: jax.Array, size: tuple[int, int],
+                             align_corners: bool = False
+                             ) -> "PackedLogits | None":
+    """Bilinear-upsample low-res logits (N, h, w, C) to full-res `size`,
+    emitting PackedLogits — the shared head for every model whose final
+    layer is `resize_bilinear(logits, (H, W))` (LEDNet APN, BiSeNet,
+    ContextNet, DeepLab, ICNet; SURVEY.md §2.2 "Bilinear upsample").
+
+    TPU tiling lane-pads the plain full-res (…, C=19) output 6.7×; here
+    the H pass is `ops.resize_bilinear`'s own einsum (the intermediate
+    is full-H but still low-W — 1/8th of the padded full-res tensor) and
+    the W pass contracts against the interpolation matrix RESHAPED to
+    (Wp, P, w), so the padded full-res tensor never exists. Numerics
+    match `resize_bilinear` (same contractions: fp32/HIGHEST for fp32
+    inputs — checkpoint-parity contract — DEFAULT for bf16, where the
+    2-hot interp rows sum at most two terms). Returns None when no pack
+    factor fits the output width."""
+    from torch_semantic_segmentation_tpu.ops.upsample import _interp_matrix
+
+    n, h, w, c = y.shape
+    oh, ow = size
+    p = pick_head_pack(c, ow, 1)
+    if p is None or (oh, ow) == (h, w):
+        return None
+    dtype = y.dtype
+    if dtype == jnp.float32:
+        acc, prec = jnp.float32, jax.lax.Precision.HIGHEST
+    else:
+        acc, prec = dtype, jax.lax.Precision.DEFAULT
+    wh = jnp.asarray(_interp_matrix(h, oh, align_corners), acc)
+    ww = jnp.asarray(_interp_matrix(w, ow, align_corners), acc)
+    yy = jnp.einsum("nhwc,oh->nowc", y.astype(acc), wh,
+                    preferred_element_type=acc, precision=prec)
+    ww_r = ww.reshape(ow // p, p, w)
+    out = jnp.einsum("nhwc,kqw->nhkqc", yy, ww_r,
+                     preferred_element_type=acc, precision=prec)
+    out = out.reshape(n, oh, ow // p, p * c).astype(dtype)
+    return PackedLogits(out, c)
+
+
+def maybe_packed_resize(y: jax.Array, size: tuple[int, int], *,
+                        align_corners: bool, env_var: str,
+                        train_mode: bool):
+    """The `upsample_logits` tail shared by the zoo models: route the
+    packed resize head (training mode on TPU by default; `env_var`
+    overrides, TPU_SEG_PACKED=0 kills), falling back to the plain
+    `ops.resize_bilinear` when unrouted or when no pack factor fits."""
+    if route_packed_head(env_var, train_mode):
+        py = apply_packed_resize_head(y, size, align_corners)
+        if py is not None:
+            return py
+    from torch_semantic_segmentation_tpu.ops.upsample import resize_bilinear
+
+    return resize_bilinear(y, size, align_corners=align_corners)
+
+
 def enabled(var: str = "TPU_SEG_PACKED") -> bool:
     """Routing default for packed regions/heads: on for TPU backends;
     `TPU_SEG_PACKED=1/0` (or a model-specific var) overrides."""
