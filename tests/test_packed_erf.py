@@ -126,3 +126,32 @@ def test_packed_body_unsupported_width_falls_back(name, monkeypatch):
     x = jnp.zeros((1, 16, 24, 3), jnp.float32)
     out = m(x)
     assert isinstance(out, jax.Array) and out.shape == (1, 16, 24, 19)
+
+
+def test_supports_rejects_unknown_block(monkeypatch):
+    """Block-vocabulary guard (ADVICE r3): a model variant with a block
+    type the packed walker doesn't know must fall back to the standard
+    path from supports() instead of raising TypeError mid-forward."""
+    from torch_semantic_segmentation_tpu.ops import packed_erf
+
+    body, head = _vars("erfnet")
+    monkeypatch.setenv(body, "1")
+    monkeypatch.setenv(head, "0")
+    m = get_model("erfnet", num_classes=19, rngs=nnx.Rngs(0))
+    m.eval()
+
+    class Foreign(nnx.Module):
+        """Unrecognized block type wrapping the real block (same math,
+        unknown to the packed walker's vocabulary)."""
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __call__(self, x):
+            return self.inner(x)
+
+    m.encoder[1] = Foreign(m.encoder[1])
+    x = jnp.zeros((1, 16, 32, 3), jnp.float32)
+    assert packed_erf.supports(m, x.shape) is False
+    out = m(x)       # plain path, no TypeError
+    assert isinstance(out, jax.Array) and out.shape == (1, 16, 32, 19)

@@ -134,6 +134,10 @@ class BiSeNet(nnx.Module):
                  param_dtype=jnp.float32, rngs: nnx.Rngs):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.aux = aux
+        # Explicit train/eval flag (packed-head routing contract,
+        # packed_ops.module_train_mode): nnx train()/eval() flips
+        # this plain bool together with every BatchNorm/Dropout.
+        self.use_running_average = False
         self.align_corners = align_corners
         # False: logits stay at their head resolutions (1/8, 1/8, 1/16);
         # losses.resize_cross_entropy_loss / aux_weighted_loss fuse the

@@ -154,6 +154,10 @@ class FastSCNN(nnx.Module):
                  param_dtype=jnp.float32, rngs: nnx.Rngs):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.aux = aux
+        # Explicit train/eval flag (packed-head routing contract,
+        # packed_ops.module_train_mode): nnx train()/eval() flips
+        # this plain bool together with every BatchNorm/Dropout.
+        self.use_running_average = False
         self.align_corners = align_corners
         # upsample_logits=False returns the 1/8-res logits so the training
         # loss can fuse the ×8 upsample (losses.resize_cross_entropy_loss);

@@ -67,6 +67,10 @@ class ICNet(nnx.Module):
                  param_dtype=jnp.float32, rngs: nnx.Rngs):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.aux = aux
+        # Explicit train/eval flag (packed-head routing contract,
+        # packed_ops.module_train_mode): nnx train()/eval() flips
+        # this plain bool together with every BatchNorm/Dropout.
+        self.use_running_average = False
         self.align_corners = align_corners
         # False: main logits stay at 1/4 res for the fused resize-CE loss
         self.upsample_logits = upsample_logits

@@ -137,6 +137,10 @@ class LEDNet(nnx.Module):
         self.align_corners = align_corners
         # False: 1/8-res APN logits for the fused resize-CE loss
         self.upsample_logits = upsample_logits
+        # Explicit train/eval flag (packed-head routing contract,
+        # packed_ops.module_train_mode): nnx train()/eval() flips
+        # this plain bool together with every BatchNorm/Dropout.
+        self.use_running_average = False
         self.encoder = nnx.List(
             [DownsamplerBlock(in_ch, 32, **kw)]
             + [SSnbt(32, **kw) for _ in range(3)]

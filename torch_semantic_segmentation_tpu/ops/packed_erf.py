@@ -25,9 +25,12 @@ scatter-built structured kernel (`packed_ops.plan_packed_conv/_deconv`
 via the `packed_enet` helpers); max-pool rides selection matmuls; BN
 reduces identical per-channel statistics through the logical (..., P,
 C) view and updates the SAME running stats. Per-element dropout needs
-NO special handling: `pack` is a pure reshape, so a mask drawn in the
-packed shape has the identical raveled bit order as the NHWC draw —
-same key, same logical mask (pinned by tests/test_packed_erf.py).
+NO special handling: `pack` is a pure reshape, so a THREEFRY mask drawn
+in the packed shape has the identical raveled bit order as the NHWC
+draw — same key, same logical mask (pinned by tests/test_packed_erf.py,
+which runs the threefry path). On TPU the default hardware-RNG dropout
+(ops/dropout.py) is shape-dependent, so packed-layout draws differ
+bitwise from NHWC draws — equivalent in distribution, not identical.
 
 Routing: training mode on TPU by default; `TPU_SEG_PACKED_ERFNET_BODY`
 / `TPU_SEG_PACKED_ESNET_BODY` (or the global `TPU_SEG_PACKED=0`)
@@ -87,8 +90,10 @@ def _factorized_forward(convs, bns, dropout, x: jax.Array, p: int,
     """Shared body of NonBottleneck1d and FCU: two (K×1 → 1×K) pairs,
     BN after each pair, dropout, residual. `convs` = (a1, a2, b1, b2).
     Mirrors the NHWC __call__ op-for-op (same dtype promotion, same RNG
-    key consumption; the packed dropout mask is the identical logical
-    mask — `pack` is a reshape, so the raveled draw order matches)."""
+    key consumption; on the threefry path the packed dropout mask is
+    the identical logical mask — `pack` is a reshape, so the raveled
+    draw order matches; TPU rbg masks are shape-dependent and match in
+    distribution only — see module docstring)."""
     a1, a2, b1, b2 = convs
     bn1, bn2 = bns
     y = jax.nn.relu(_conv(a1, x, p, p))
@@ -147,8 +152,24 @@ def _block_packed(blk, y: jax.Array, p: int) -> tuple[jax.Array, int]:
 
 def supports(model, x_shape: tuple) -> bool:
     """W must divide the stem input pack (2·P2 = 16; Wp is constant down
-    the chain, so every later layer's divisibility follows) and the
-    packed head's lane row must stay within one reasonable tile burst."""
+    the chain, so every later layer's divisibility follows), the packed
+    head's lane row must stay within one reasonable tile burst, and
+    every block must be in the walker's vocabulary — a model variant
+    with an unrecognized block type (or a <128-ch block with no packed
+    form, e.g. a narrow PFCU) falls back to the standard path instead
+    of raising mid-forward."""
+    from torch_semantic_segmentation_tpu.models.erfnet import (
+        DownsamplerBlock, NonBottleneck1d, UpsamplerBlock)
+    from torch_semantic_segmentation_tpu.models.esnet import FCU, PFCU
+
+    known = (DownsamplerBlock, UpsamplerBlock, NonBottleneck1d, FCU, PFCU)
+    packed_ok = (DownsamplerBlock, UpsamplerBlock, NonBottleneck1d, FCU)
+    for blk in list(model.encoder) + list(model.decoder):
+        if not isinstance(blk, known):
+            return False
+        c_in, c_out = _block_io_ch(blk)
+        if min(c_in, c_out) < UNPACK_C and not isinstance(blk, packed_ok):
+            return False
     return (x_shape[2] % (2 * P2) == 0
             and model.output_conv.out_features * 2 * P2 <= 1280)
 

@@ -506,10 +506,22 @@ def apply_packed_deconv_head(fc, x: jax.Array) -> "PackedLogits | None":
 
 
 def module_train_mode(module) -> bool:
-    """True when the module's BatchNorms run in batch-stats (training)
-    mode — the shared routing signal for packed heads (eval consumers
-    want plain NHWC). Checks the first BatchNorm found; nnx's
-    train()/eval() flip them all together."""
+    """The shared routing signal for packed heads: True in training
+    mode (eval consumers want plain NHWC).
+
+    Explicit contract: models that route packed heads declare
+    `self.use_running_average: bool` in their constructor — a plain
+    attribute that nnx's `train()`/`eval()` (via `set_attributes`)
+    flips together with every BatchNorm/Dropout, so the flag can never
+    disagree with the modules unless the caller deliberately targets a
+    subset with a `set_attributes` filter. Works for BN-free models
+    (tests/test_packed_resize_head.py::test_bn_free_model_routing).
+
+    Fallback for modules without the flag: the first BatchNorm found
+    (legacy heuristic; returns False for a BN-free module)."""
+    ura = getattr(module, "use_running_average", None)
+    if isinstance(ura, bool):
+        return not ura
     from flax import nnx
 
     for _, sub in nnx.iter_modules(module):
@@ -530,11 +542,15 @@ def apply_packed_resize_head(y: jax.Array, size: tuple[int, int],
     the H pass is `ops.resize_bilinear`'s own einsum (the intermediate
     is full-H but still low-W — 1/8th of the padded full-res tensor) and
     the W pass contracts against the interpolation matrix RESHAPED to
-    (Wp, P, w), so the padded full-res tensor never exists. Numerics
-    match `resize_bilinear` (same contractions: fp32/HIGHEST for fp32
-    inputs — checkpoint-parity contract — DEFAULT for bf16, where the
-    2-hot interp rows sum at most two terms). Returns None when no pack
-    factor fits the output width."""
+    (Wp, P, w), so the padded full-res tensor never exists.
+
+    Numerics: fp32 inputs contract at fp32/HIGHEST and match
+    `resize_bilinear` exactly (the checkpoint-parity contract). bf16
+    inputs accumulate in bf16 at DEFAULT precision and are APPROXIMATE
+    vs resize_bilinear's fp32 accumulation — bounded by ~2 bf16 ulps,
+    because each 2-hot interpolation row sums at most two terms (the
+    same trade `resize_bilinear_nhcw` documents). Returns None when no
+    pack factor fits the output width."""
     from torch_semantic_segmentation_tpu.ops.upsample import _interp_matrix
 
     n, h, w, c = y.shape
