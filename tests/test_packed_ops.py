@@ -192,3 +192,36 @@ def test_packed_logits_pytree_and_consumers():
     ref = cross_entropy_loss(logits, labels)
     got = cross_entropy_loss(pl, labels)
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("exact", [True, False])
+@pytest.mark.parametrize("weights", [None, "cw"])
+def test_ohem_on_packed_logits_matches_nhwc(exact, weights):
+    """OHEM consumes PackedLogits IN packed layout (VERDICT r3 next #7
+    removed the silent unpack): top-k/threshold/mean are permutation-
+    invariant over pixels, so the loss and the (unpacked) gradient must
+    equal the NHWC computation for both selector variants."""
+    from torch_semantic_segmentation_tpu.losses import ohem_cross_entropy
+    from torch_semantic_segmentation_tpu.ops.packed_ops import PackedLogits
+
+    c, p = 19, 8
+    n, h, w = 2, 8, 64
+    logits = jax.random.normal(jax.random.PRNGKey(3), (n, h, w, c),
+                               jnp.float32) * 3.0
+    labels = jax.random.randint(jax.random.PRNGKey(4), (n, h, w), 0, c)
+    labels = labels.at[0, :2].set(255)
+    cw = None if weights is None else jnp.linspace(0.2, 2.0, c)
+
+    def f_ref(l):
+        return ohem_cross_entropy(l, labels, thresh=0.7, min_kept=200,
+                                  class_weights=cw, exact=exact)
+
+    def f_packed(l):
+        return ohem_cross_entropy(PackedLogits(l, c), labels, thresh=0.7,
+                                  min_kept=200, class_weights=cw,
+                                  exact=exact)
+
+    ref, gr = jax.value_and_grad(f_ref)(logits)
+    got, gp = jax.value_and_grad(f_packed)(pack(logits, p))
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+    np.testing.assert_allclose(unpack(gp, c), gr, rtol=1e-5, atol=1e-7)

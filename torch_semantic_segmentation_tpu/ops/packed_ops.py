@@ -358,14 +358,19 @@ def packed_prelu(alpha: jax.Array, x: jax.Array, c: int) -> jax.Array:
 # packed cross-entropy
 
 
-def packed_cross_entropy(
+def packed_per_pixel_ce(
     logits: jax.Array, labels: jax.Array, c: int, *,
     ignore_index: int = 255, class_weights=None,
-) -> jax.Array:
-    """Class-weighted CE with ignore_index on PACKED logits
-    (N,H,Wp,P·C); labels (N,H,W) int. torch F.cross_entropy semantics
-    (weighted mean over non-ignored pixels), matching
-    losses.cross_entropy_loss.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-pixel CE on PACKED logits (N,H,Wp,P·C); labels (N,H,W) int.
+
+    Returns (loss_px, cw_px, valid), each (N,H,Wp,P): the per-pixel
+    loss (0 at ignored pixels), the per-pixel class weight over valid
+    pixels (1s when class_weights is None), and the validity mask —
+    the shared building block of `packed_cross_entropy` (weighted mean)
+    and the packed OHEM tail (losses.ohem_cross_entropy consumes the
+    map directly: top-k/threshold/mean are permutation-invariant, so
+    selection over this map equals selection over the NHWC map).
 
     The per-pixel logsumexp is stabilized by the PER-PACK max (max over
     the P pixels × C classes sharing a lane row) instead of the
@@ -398,10 +403,25 @@ def packed_cross_entropy(
 
     loss_px = jnp.where(valid, lse - true_logit, 0.0)
     if class_weights is None:
-        w = valid.astype(jnp.float32)
+        cw_px = valid.astype(jnp.float32)
     else:
         cw = jnp.tile(jnp.asarray(class_weights, jnp.float32), p)
-        w = jnp.where(valid, (onehot * cw) @ gsum, 0.0)
+        cw_px = jnp.where(valid, (onehot * cw) @ gsum, 0.0)
+    return loss_px, cw_px, valid
+
+
+def packed_cross_entropy(
+    logits: jax.Array, labels: jax.Array, c: int, *,
+    ignore_index: int = 255, class_weights=None,
+) -> jax.Array:
+    """Class-weighted CE with ignore_index on PACKED logits
+    (N,H,Wp,P·C); labels (N,H,W) int. torch F.cross_entropy semantics
+    (weighted mean over non-ignored pixels), matching
+    losses.cross_entropy_loss. See `packed_per_pixel_ce` for the
+    numerics."""
+    loss_px, w, _ = packed_per_pixel_ce(
+        logits, labels, c, ignore_index=ignore_index,
+        class_weights=class_weights)
     denom = jnp.maximum(jnp.sum(w), 1e-12)
     return jnp.sum(loss_px * w) / denom
 
