@@ -91,6 +91,10 @@ class UNet(nnx.Module):
                  base_ch: int = 64, upsample: str = "deconv", dtype=None,
                  param_dtype=jnp.float32, rngs: nnx.Rngs):
         kw: tp.Any = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        # Explicit train/eval flag (packed-body routing contract,
+        # packed_ops.module_train_mode): nnx train()/eval() flips
+        # this plain bool together with every BatchNorm/Dropout.
+        self.use_running_average = False
         b = base_ch
         self.enc1 = DoubleConv(in_ch, b, **kw)
         self.enc2 = DoubleConv(b, 2 * b, **kw)
@@ -110,6 +114,10 @@ class UNet(nnx.Module):
             raise ValueError(
                 f"UNet needs H and W divisible by 16 (4 pooling stages); "
                 f"got {h}x{w}")
+        if self._route_packed_body(x):
+            from torch_semantic_segmentation_tpu.ops import packed_unet
+
+            return packed_unet.forward(self, x)
         s1 = self.enc1(x)
         s2 = self.enc2(max_pool2d(s1, 2))
         s3 = self.enc3(max_pool2d(s2, 2))
@@ -120,6 +128,19 @@ class UNet(nnx.Module):
         y = self.up2(y, s2)
         y = self.up1(y, s1)
         return self.head(y)
+
+    def _route_packed_body(self, x: jax.Array) -> bool:
+        """Full-res W-packed rim (ops/packed_unet.py): enc1/up1/head in
+        `(N, H, W/2, 2·C)` layout, PackedLogits out. Training mode on
+        TPU by default; TPU_SEG_PACKED_UNET_BODY overrides — same
+        contract as the ENet/ERFNet packed bodies."""
+        from torch_semantic_segmentation_tpu.ops import packed_ops, packed_unet
+
+        if not packed_ops.route_packed_head(
+                "TPU_SEG_PACKED_UNET_BODY",
+                packed_ops.module_train_mode(self)):
+            return False
+        return packed_unet.supports(self, x.shape)
 
 
 def unet(num_classes: int = 19, *, base_ch: int = 64, upsample: str = "deconv",
