@@ -145,11 +145,19 @@ def _fused_bwd(interpret, residuals, g):
     (_, h, w, cl), low_dtype = residuals.shape, residuals.dtype
     g_low = g[..., :cl].astype(jnp.float32)
     g_skip = g[..., cl:]
-    # adjoint of the ×2 bilinear resize: transposed interpolation matmuls
+    # adjoint of the ×2 bilinear resize: transposed interpolation
+    # matmuls. fp32 inputs contract at HIGHEST to match the fp32
+    # forward/reference contract (TPU DEFAULT decomposes f32 matmuls
+    # through bf16 passes — measured 2.5e-3 rel on-chip); bf16 training
+    # keeps the fast DEFAULT path.
+    prec = (jax.lax.Precision.HIGHEST if low_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     wh = jnp.asarray(_interp_matrix(h, 2 * h, False))      # (2h, h)
     ww = jnp.asarray(_interp_matrix(w, 2 * w, False))      # (2w, w)
-    d = jnp.einsum("nhwc,ho->nowc", g_low, wh, preferred_element_type=jnp.float32)
-    d = jnp.einsum("nhwc,wo->nhoc", d, ww, preferred_element_type=jnp.float32)
+    d = jnp.einsum("nhwc,ho->nowc", g_low, wh,
+                   preferred_element_type=jnp.float32, precision=prec)
+    d = jnp.einsum("nhwc,wo->nhoc", d, ww,
+                   preferred_element_type=jnp.float32, precision=prec)
     return d.astype(low_dtype), g_skip
 
 
