@@ -12,6 +12,7 @@ Multi-slice (DCN) scaling later just adds an outer mesh axis.
 
 from torch_semantic_segmentation_tpu.parallel.mesh import (
     batch_sharding,
+    check_spatial_extent,
     data_parallel_mesh,
     hybrid_batch_sharding,
     hybrid_data_parallel_mesh,
@@ -21,6 +22,7 @@ from torch_semantic_segmentation_tpu.parallel.mesh import (
 )
 
 __all__ = [
-    "batch_sharding", "data_parallel_mesh", "hybrid_batch_sharding",
+    "batch_sharding", "check_spatial_extent", "data_parallel_mesh",
+    "hybrid_batch_sharding",
     "hybrid_data_parallel_mesh", "label_sharding", "replicate", "shard_batch",
 ]

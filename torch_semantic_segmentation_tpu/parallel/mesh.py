@@ -32,6 +32,32 @@ def data_parallel_mesh(num_data: int | None = None, num_spatial: int = 1,
     return Mesh(arr, ("data", "spatial"))
 
 
+def check_spatial_extent(input_h: int, num_spatial: int,
+                         max_stride: int = 32) -> None:
+    """Guard against DEGENERATE spatial shards (found round 4, f64
+    equality sweep): when a network's deepest feature map has fewer rows
+    than the 'spatial' mesh axis (input_h / max_stride < num_spatial —
+    some shards hold only padding), the FORWARD stays correct but XLA
+    GSPMD overcounts the conv kernel/BN gradients at that stage by
+    exactly the axis size (measured: 4.000× on the H=2-over-4-shards
+    1/32 stage dw kernels, 2.000× on its 1×1s, poisoning every upstream
+    gradient; one row per shard is already exact to reassociation).
+    Call before sharding H over 'spatial'; raises ValueError.
+
+    Reference counterpart: none — the reference is DP-only (SURVEY.md
+    §2.4); this guards OUR spatial-partitioning extension.
+    """
+    deepest = input_h // max_stride
+    if deepest < num_spatial:
+        raise ValueError(
+            f"degenerate spatial sharding: input H={input_h} reaches "
+            f"H={deepest} at stride {max_stride}, smaller than the "
+            f"spatial mesh axis ({num_spatial}) — empty shards make XLA "
+            f"GSPMD overcount that stage's backward by the axis size. "
+            f"Use input H ≥ {max_stride * num_spatial} or fewer spatial "
+            f"shards.")
+
+
 def hybrid_data_parallel_mesh(
     num_slices: int | None = None,
     devices: tp.Sequence[jax.Device] | None = None,
