@@ -225,3 +225,20 @@ def test_ohem_on_packed_logits_matches_nhwc(exact, weights):
     got, gp = jax.value_and_grad(f_packed)(pack(logits, p))
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
     np.testing.assert_allclose(unpack(gp, c), gr, rtol=1e-5, atol=1e-7)
+
+
+def test_route_packed_head_default_off(monkeypatch):
+    """Measured-negative routing position (BiSeNet heads, ERFNet body —
+    2026-08-20 zoo A/B): default_on=False never routes by default even
+    on a TPU backend (TPU_SEG_PACKED=1 emulates one here), but the
+    explicit model env var still opts in, and =0 still kills."""
+    from torch_semantic_segmentation_tpu.ops.packed_ops import (
+        route_packed_head)
+
+    monkeypatch.setenv("TPU_SEG_PACKED", "1")   # enabled() true off-TPU
+    assert route_packed_head("X_TEST_VAR", True) is True
+    assert route_packed_head("X_TEST_VAR", True, default_on=False) is False
+    monkeypatch.setenv("X_TEST_VAR", "1")
+    assert route_packed_head("X_TEST_VAR", False, default_on=False) is True
+    monkeypatch.setenv("X_TEST_VAR", "0")
+    assert route_packed_head("X_TEST_VAR", True, default_on=False) is False

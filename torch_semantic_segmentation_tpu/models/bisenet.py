@@ -160,17 +160,20 @@ class BiSeNet(nnx.Module):
         sp = self.spatial(x)
         cp8, cp16 = self.context(x)
         y = self.head(self.ffm(sp, cp8))
-        # Packed resize head (ops/packed_ops.py): full-res C=19 logits
-        # are 6.7× lane-padded in plain NHWC; routed (training on TPU;
-        # TPU_SEG_PACKED_BISENET overrides) the ×8 upsample emits
-        # W-packed PackedLogits — main and both aux heads.
+        # Packed resize head (ops/packed_ops.py): MEASURED NEGATIVE for
+        # BiSeNet — three full-res heads (main + 2 aux) route three
+        # packed einsum chains and the zoo A/B lost 23% (207.2 → 160.3
+        # img/s at b32 768², 2026-08-20 v5lite), so the default stays
+        # the plain fused resize; TPU_SEG_PACKED_BISENET=1 opts in
+        # (parity tests use it).
         from torch_semantic_segmentation_tpu.ops import packed_ops
 
         def _up(t):
             return packed_ops.maybe_packed_resize(
                 t, (h, w), align_corners=self.align_corners,
                 env_var="TPU_SEG_PACKED_BISENET",
-                train_mode=packed_ops.module_train_mode(self))
+                train_mode=packed_ops.module_train_mode(self),
+                default_on=False)
 
         if self.upsample_logits:
             y = _up(y)

@@ -490,14 +490,23 @@ def pick_head_pack(c_out: int, w_in: int, stride_w: int,
     return best
 
 
-def route_packed_head(env_var: str, train_mode: bool) -> bool:
+def route_packed_head(env_var: str, train_mode: bool,
+                      default_on: bool = True) -> bool:
     """Shared routing rule for packed full-res heads: on by default on
     TPU in TRAINING mode only (eval consumers want NHWC and would pay an
     unpack relayout); `<env_var>=1` forces routing in any mode — the CPU
-    parity-test hook — and `<env_var>=0` (or TPU_SEG_PACKED=0) kills it."""
+    parity-test hook — and `<env_var>=0` (or TPU_SEG_PACKED=0) kills it.
+
+    `default_on=False` is the MEASURED-NEGATIVE position: the path stays
+    available behind an explicit `<env_var>=1` but never routes by
+    default (2026-08-20 zoo A/B on v5lite, 768² crops: BiSeNet packed
+    heads 207.2 → 160.3 img/s b32, ERFNet packed body 72.3 → 63.4 img/s
+    b8 — see README zoo notes)."""
     env = os.environ.get(env_var)
     if env == "0" or not enabled(env_var):
         return False
+    if not default_on:
+        return env == "1"
     return train_mode or env == "1"
 
 
@@ -596,12 +605,12 @@ def apply_packed_resize_head(y: jax.Array, size: tuple[int, int],
 
 def maybe_packed_resize(y: jax.Array, size: tuple[int, int], *,
                         align_corners: bool, env_var: str,
-                        train_mode: bool):
+                        train_mode: bool, default_on: bool = True):
     """The `upsample_logits` tail shared by the zoo models: route the
     packed resize head (training mode on TPU by default; `env_var`
     overrides, TPU_SEG_PACKED=0 kills), falling back to the plain
     `ops.resize_bilinear` when unrouted or when no pack factor fits."""
-    if route_packed_head(env_var, train_mode):
+    if route_packed_head(env_var, train_mode, default_on):
         py = apply_packed_resize_head(y, size, align_corners)
         if py is not None:
             return py
