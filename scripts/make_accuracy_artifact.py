@@ -46,7 +46,7 @@ class Tee:
         self.stream.flush()
 
 
-def _train_run(extra=()):
+def _train_run(model="fastscnn", extra=()):
     """One CLI training run; returns the parsed eval curve."""
     from torch_semantic_segmentation_tpu.cli.train import main as train
 
@@ -55,7 +55,7 @@ def _train_run(extra=()):
     sys.stdout = tee
     ckpt = tempfile.mkdtemp(prefix="acc_artifact_")
     try:
-        train(["--dataset", "shapes", "--model", "fastscnn",
+        train(["--dataset", "shapes", "--model", model,
                "--batch-size", "8", "--crop-size", "128",
                "--scale-range", "0.75", "1.25", "--lr", "0.05",
                "--max-iterations", str(STEPS),
@@ -80,13 +80,23 @@ def main():
     # which on single-device TPU at crop 128 routes the fused Pallas
     # resize+CE kernel (ops/pallas_resize_ce.py): proves the kernel
     # trains a model to accuracy, not merely matches the XLA loss
+    # VERDICT r3 next #2: the artifact must cover what HEAD actually
+    # runs by default on TPU — FastSCNN (packed LDS + packed resize
+    # head + folded BN + mbconv), the fused Pallas resize-CE path, a
+    # whole-network packed BODY (ENet), and an OHEM run; enet+ohem also
+    # exercises the packed per-pixel OHEM map (losses.ohem_cross_entropy
+    # on PackedLogits) end to end on chip.
     runs = []
-    for name, extra in (("default", ()),
-                        ("fused_resize_pallas_ce", ("--fused-resize-loss",))):
-        curve = _train_run(extra)
+    for name, model, extra in (
+            ("default", "fastscnn", ()),
+            ("fused_resize_pallas_ce", "fastscnn", ("--fused-resize-loss",)),
+            ("enet_packed_body", "enet", ()),
+            ("enet_ohem_packed_map", "enet", ("--loss", "ohem"))):
+        curve = _train_run(model, extra)
         best = max((p["val_miou"] for p in curve), default=None)
         runs.append({
             "run": name,
+            "model": model,
             "flags": list(extra),
             "eval_curve": curve,
             "best_val_miou": best,
@@ -115,7 +125,7 @@ def main():
         "threshold": 70.0,
         "passed": all(r["passed"] for r in runs),
         "runs": runs,
-        "command": base_cmd + "  [and + --fused-resize-loss]",
+        "command": base_cmd + "  [per-run model/flags in runs]",
     }
     path = f"/root/repo/ACCURACY_r{RND:02d}.json"
     with open(path, "w") as f:
