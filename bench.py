@@ -100,7 +100,15 @@ def build_step(crop_hw: tuple[int, int], remat: bool = REMAT):
     gd_train, _, state = create_train_state(model, tx)
     inner = make_train_step(gd_train, tx, resize_cross_entropy_loss,
                             jit=False, remat=remat)
-    aug_cfg = AugmentConfig(crop=crop_hw, out_dtype=jnp.bfloat16)
+    # packed-input aug API (transforms.AugmentConfig.pack): measured
+    # NEUTRAL at the judged shape — 203.61 (off) vs 203.43 (end-reshape)
+    # vs 203.15 (warp-emitted 5D) img/s, 2026-08-20 v5lite b48 — the
+    # entry relayout XLA emits costs the same wherever the reshape sits,
+    # so the default stays off (docs/FULLRES_ROOFLINE.md round-4 note);
+    # BENCH_AUG_PACK=16 re-runs the A/B.
+    aug_pack = int(os.environ.get("BENCH_AUG_PACK", "0"))
+    aug_cfg = AugmentConfig(crop=crop_hw, out_dtype=jnp.bfloat16,
+                            pack=aug_pack)
 
     def step(state, raw_images, raw_labels, key):
         images, labels = augment_batch(raw_images, raw_labels, key, aug_cfg)

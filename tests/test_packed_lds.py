@@ -122,3 +122,41 @@ def test_model_routing_env_flag(monkeypatch):
     # GFE/FFM/classifier BN chains — tolerance is logit-scale, not op-scale
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-3, atol=2e-3)
+
+
+def test_packed_input_aug_matches_nhwc(monkeypatch):
+    """Packed-input aug API (round 4): AugmentConfig.pack emits
+    PackedImages whose unpack is BITWISE the NHWC aug output, and
+    FastSCNN consumes it identically on both the packed-LDS route (data
+    used directly) and the standard route (unpacked reshape)."""
+    import dataclasses
+
+    from torch_semantic_segmentation_tpu.data.transforms import (
+        AugmentConfig, augment_batch)
+    from torch_semantic_segmentation_tpu.models import get_model
+    from torch_semantic_segmentation_tpu.ops.packed_ops import PackedImages
+
+    rng = np.random.default_rng(17)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 48, 96, 3)), jnp.uint8)
+    lbls = jnp.asarray(rng.integers(0, 19, (2, 48, 96)), jnp.int32)
+    key = jax.random.PRNGKey(5)
+    cfg = AugmentConfig(crop=(32, 64))
+    cfgp = dataclasses.replace(cfg, pack=16)
+
+    a_img, a_lbl = augment_batch(imgs, lbls, key, cfg)
+    p_img, p_lbl = augment_batch(imgs, lbls, key, cfgp)
+    assert isinstance(p_img, PackedImages)
+    assert p_img.shape == a_img.shape
+    np.testing.assert_array_equal(np.asarray(p_img.unpack()),
+                                  np.asarray(a_img))
+    np.testing.assert_array_equal(np.asarray(p_lbl), np.asarray(a_lbl))
+
+    m = get_model("fastscnn", num_classes=7, rngs=nnx.Rngs(0))
+    m.eval()
+    for lds_env in ("1", "0"):
+        monkeypatch.setenv("FASTSCNN_PACKED_LDS", lds_env)
+        y_plain = m(a_img)
+        y_packed = m(p_img)
+        np.testing.assert_array_equal(np.asarray(y_plain),
+                                      np.asarray(y_packed),
+                                      err_msg=f"FASTSCNN_PACKED_LDS={lds_env}")

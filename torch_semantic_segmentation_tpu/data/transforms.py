@@ -54,6 +54,13 @@ class AugmentConfig:
     std: tuple[float, float, float] = CITYSCAPES_STD
     ignore_index: int = 255
     out_dtype: tp.Any = jnp.float32
+    # pack > 0: emit images as ops.packed_ops.PackedImages in the
+    # W-packed (N, H, W/pack, pack·3) layout — the packed-input API for
+    # models with a packed entry region (FastSCNN's LDS packs at 16).
+    # The reshape sits inside this jit program, so the packed tiling is
+    # produced by the normalize write itself instead of a separate
+    # relayout pass at the model boundary.
+    pack: int = 0
 
 
 def _source_coords(out_size: int, in_size, scale, offset):
@@ -92,9 +99,16 @@ def _nearest_matrix_rows(src: jax.Array, in_size: int, dtype) -> jax.Array:
 
 
 def _warp_batch(images: jax.Array, labels: jax.Array, scale, oy, ox, flip,
-                crop: tuple[int, int], ignore_index: int, dtype):
+                crop: tuple[int, int], ignore_index: int, dtype,
+                pack: int = 0):
     """Warp (N,H,W,3) uint8 images + (N,H,W) labels to the crop size via
     per-sample sampling-matrix matmuls. Returns (img [0,1] float, lbl int32).
+
+    pack > 0 (packed-input aug API): the W contraction runs against the
+    sampling matrix reshaped to (N, cw/P, P, W), so the image comes out
+    of the MXU already in the blocked (N, ch, cw/P, P, C) form — the
+    jitter/normalize chain stays elementwise on it, and the final merge
+    to (N, ch, cw/P, P·C) is the W-packed layout by construction.
     """
     n, h, w = images.shape[0], images.shape[1], images.shape[2]
     ch, cw = crop
@@ -116,8 +130,13 @@ def _warp_batch(images: jax.Array, labels: jax.Array, scale, oy, ox, flip,
     img = images.astype(dtype)
     img = jnp.einsum("nih,nhwc->niwc", wh, img,
                      preferred_element_type=dtype)
-    img = jnp.einsum("nkw,nhwc->nhkc", ww, img,
-                     preferred_element_type=dtype)
+    if pack:
+        wwr = ww.reshape(n, cw // pack, pack, w)
+        img = jnp.einsum("nkpw,nhwc->nhkpc", wwr, img,
+                         preferred_element_type=dtype)
+    else:
+        img = jnp.einsum("nkw,nhwc->nhkc", ww, img,
+                         preferred_element_type=dtype)
     # stay at `dtype` (bf16 on TPU): promoting to f32 here makes every
     # downstream jitter/normalize intermediate a full-res f32 tensor
     # (~1 GB each at b40 1024×2048) — measured ~40% of the aug stage's
@@ -137,7 +156,11 @@ def _warp_batch(images: jax.Array, labels: jax.Array, scale, oy, ox, flip,
     vy = (src_y >= -0.5) & (src_y <= h - 0.5)       # (N, ch)
     vx = (src_x >= -0.5) & (src_x <= w - 0.5)       # (N, cw)
     valid = vy[:, :, None] & vx[:, None, :]
-    img = jnp.where(valid[..., None], img, 0.0)
+    if pack:
+        valid5 = valid.reshape(n, ch, cw // pack, pack)
+        img = jnp.where(valid5[..., None], img, 0.0)
+    else:
+        img = jnp.where(valid[..., None], img, 0.0)
     lbl = jnp.where(valid, lbl, ignore_index)
     return img, lbl
 
@@ -204,8 +227,11 @@ def augment_batch(
     # immaterial for augmentation), fp32 elsewhere (test exactness on CPU)
     warp_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                   else jnp.float32)
+    if cfg.pack and cw % cfg.pack:
+        raise ValueError(f"crop W={cw} not divisible by pack={cfg.pack}")
     out_img, out_lbl = _warp_batch(images, labels, scale, oy, ox, flip,
-                                   cfg.crop, cfg.ignore_index, warp_dtype)
+                                   cfg.crop, cfg.ignore_index, warp_dtype,
+                                   cfg.pack)
 
     if cfg.brightness or cfg.contrast or cfg.saturation or cfg.hue:
         b = jax.random.uniform(ks[4], (n,), minval=1 - cfg.brightness,
@@ -228,7 +254,17 @@ def augment_batch(
     mean = jnp.asarray(cfg.mean, out_img.dtype)
     std = jnp.asarray(cfg.std, out_img.dtype)
     out_img = (out_img - mean) / std
-    return out_img.astype(cfg.out_dtype), out_lbl
+    out_img = out_img.astype(cfg.out_dtype)
+    if cfg.pack:
+        from torch_semantic_segmentation_tpu.ops.packed_ops import (
+            PackedImages)
+
+        # (N, ch, cw/P, P, 3) → merge the minor (P, 3) pair: W-packed
+        # layout by construction (row-major NHWC ↦ packed is exactly
+        # this contiguous relabeling)
+        out_img = PackedImages(
+            out_img.reshape(n, ch, cw // cfg.pack, cfg.pack * 3), 3)
+    return out_img, out_lbl
 
 
 @functools.partial(jax.jit, static_argnames=("mean", "std", "out_dtype"))

@@ -52,13 +52,17 @@ class LearningToDownsample(nnx.Module):
         self.ds1 = SeparableConv(c1, c2, 3, stride=2, **kw)
         self.ds2 = SeparableConv(c2, c3, 3, stride=2, **kw)
 
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
         from torch_semantic_segmentation_tpu.ops import packed_lds
+        from torch_semantic_segmentation_tpu.ops.packed_ops import (
+            PackedImages)
         if (packed_lds.enabled() and packed_lds.supports(x.shape)
                 and packed_lds.routable(self)):
             # Whole-LDS W-packed region (ops/packed_lds.py): same params
             # and BN state, ~8× fewer HBM bytes on TPU lane-padded layouts
             return packed_lds.lds_forward(self, x)
+        if isinstance(x, PackedImages):
+            x = x.unpack()     # reshape only; XLA cancels it downstream
         return self.ds2(self.ds1(self.conv(x)))
 
 

@@ -247,7 +247,18 @@ def lds_forward(lds, x: jax.Array, p1: int | None = None) -> jax.Array:
     c1 = conv.out_features
     pk = _scatter_kernel(conv.kernel[...], conv.in_features, c1,
                          stem_pack[1], depthwise=False)
-    xp = pack(x, stem_pack[0])
+    from torch_semantic_segmentation_tpu.ops.packed_ops import PackedImages
+    if isinstance(x, PackedImages):
+        # packed-input aug API (transforms.AugmentConfig.pack): consume
+        # the pre-packed tensor directly when its factor matches the
+        # stem's input pack; otherwise fall back through NHWC (reshapes
+        # only — XLA cancels them)
+        if x.data.shape[-1] == stem_pack[0] * conv.in_features:
+            xp = x.data
+        else:
+            xp = pack(x.unpack(), stem_pack[0])
+    else:
+        xp = pack(x, stem_pack[0])
     xp, pk = _conv_compute(conv, xp, pk)
     y = packed_conv_s2(xp, pk)
     y = bn_act(lds.conv, y, c1, stem_pack[1])

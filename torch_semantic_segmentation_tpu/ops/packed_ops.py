@@ -467,6 +467,29 @@ class PackedLogits:
         return cls(children[0], c)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedImages(PackedLogits):
+    """W-packed network INPUT — the packed-input aug API (round 4).
+
+    `data.transforms.augment_batch` with `cfg.pack=P` emits the
+    normalized images already reshaped to (N, H, W/P, P·C), so the
+    NHWC→packed relayout copy at the packed-LDS entry (6.9 ms of the
+    b48 full-res step, docs/FULLRES_ROOFLINE.md) moves into the aug's
+    own output write instead of being a separate pass. Models that run
+    a packed region consume `.data` directly when the pack factor
+    matches; every other consumer calls `.unpack()` (a reshape XLA
+    cancels against the model's own `pack`). Same container contract as
+    PackedLogits (`.shape` reports the logical NHWC shape)."""
+
+    def tree_flatten(self):
+        return (self.data,), self.c
+
+    @classmethod
+    def tree_unflatten(cls, c, children):
+        return cls(children[0], c)
+
+
 def as_nhwc(logits) -> jax.Array:
     """Coerce a model output (array or PackedLogits) to plain NHWC."""
     if isinstance(logits, PackedLogits):
