@@ -123,7 +123,12 @@ class ContextNet(nnx.Module):
             y = packed_ops.maybe_packed_resize(
                 y, (h, w), align_corners=self.align_corners,
                 env_var="TPU_SEG_PACKED_CONTEXTNET",
-                train_mode=packed_ops.module_train_mode(self))
+                train_mode=packed_ops.module_train_mode(self),
+                # measured negative (2026-08-20 zoo A/B: 385.1 -> 311.7 img/s b32 (-19%)):
+                # the packed resize head's H-pass intermediate and 5D
+                # W-pass output still lane-pad, so it loses to the
+                # plain fused resize; TPU_SEG_PACKED_CONTEXTNET=1 opts in (parity tests)
+                default_on=False)
         if self.aux:
             return y, self.aux_detail(detail), self.aux_context(context)
         return y

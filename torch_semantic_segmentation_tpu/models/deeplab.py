@@ -72,7 +72,12 @@ class DeepLabV3(nnx.Module):
             y = packed_ops.maybe_packed_resize(
                 y, (h, w), align_corners=self.align_corners,
                 env_var="TPU_SEG_PACKED_DEEPLAB",
-                train_mode=packed_ops.module_train_mode(self))
+                train_mode=packed_ops.module_train_mode(self),
+                # measured negative (2026-08-20 zoo A/B: 270.1 -> 230.3 img/s b32 (-15%, resnet18)):
+                # the packed resize head's H-pass intermediate and 5D
+                # W-pass output still lane-pad, so it loses to the
+                # plain fused resize; TPU_SEG_PACKED_DEEPLAB=1 opts in (parity tests)
+                default_on=False)
         if self.aux:
             return y, self.aux_head(c3)
         return y

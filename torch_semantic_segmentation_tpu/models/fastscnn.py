@@ -196,7 +196,12 @@ class FastSCNN(nnx.Module):
             logits = packed_ops.maybe_packed_resize(
                 logits, (h, w), align_corners=self.align_corners,
                 env_var="TPU_SEG_PACKED_FASTSCNN",
-                train_mode=packed_ops.module_train_mode(self))
+                train_mode=packed_ops.module_train_mode(self),
+                # measured negative (2026-08-20 zoo A/B: 563.7 -> 424.2 img/s b32 (-25%)):
+                # the packed resize head's H-pass intermediate and 5D
+                # W-pass output still lane-pad, so it loses to the
+                # plain fused resize; TPU_SEG_PACKED_FASTSCNN=1 opts in (parity tests)
+                default_on=False)
         if self.aux:
             return logits, self.aux_lds(hi), self.aux_gfe(lo)
         return logits

@@ -146,7 +146,12 @@ class ICNet(nnx.Module):
             y = packed_ops.maybe_packed_resize(
                 y, (h, w), align_corners=ac,
                 env_var="TPU_SEG_PACKED_ICNET",
-                train_mode=packed_ops.module_train_mode(self))
+                train_mode=packed_ops.module_train_mode(self),
+                # measured negative (2026-08-20 zoo A/B: 216.0 -> 206.7 img/s b32, -4%):
+                # the packed resize head's H-pass intermediate and 5D
+                # W-pass output still lane-pad, so it loses to the
+                # plain fused resize; TPU_SEG_PACKED_ICNET=1 opts in (parity tests)
+                default_on=False)
         if self.aux:
             a2 = self.aux_cls2(low_up2)                      # 1/16 grid
             a1 = self.aux_cls1(low_up1)                      # 1/8 grid

@@ -170,7 +170,12 @@ class LEDNet(nnx.Module):
             return packed_ops.maybe_packed_resize(
                 y, (h, w), align_corners=self.align_corners,
                 env_var="TPU_SEG_PACKED_LEDNET",
-                train_mode=packed_ops.module_train_mode(self))
+                train_mode=packed_ops.module_train_mode(self),
+                # measured NEUTRAL (2026-08-20 zoo A/B: 52.9 -> 53.2 img/s b8):
+                # within noise either way at LEDNet's shapes — default
+                # off for a uniform zoo rule; TPU_SEG_PACKED_LEDNET=1
+                # opts in (parity tests)
+                default_on=False)
         return y
 
 
