@@ -137,3 +137,36 @@ def test_packed_resize_head_off_when_no_pack_fits(monkeypatch):
     x = jnp.zeros((1, 16, 32, 3), jnp.float32)
     out = m(x)
     assert isinstance(out, jax.Array) and out.shape == (1, 16, 32, 200)
+
+
+def test_conv_form_resize_head_matches_resize_bilinear():
+    """The structured-conv packed resize head (round 4,
+    plan_packed_resize_w): kernel scatter-built from _interp_matrix and
+    verified against it, so values match resize_bilinear to fp32 noise;
+    non-pack-periodic patterns (align_corners=True here) and <3-pack
+    widths fall back (None)."""
+    from torch_semantic_segmentation_tpu.ops.packed_ops import (
+        apply_packed_resize_conv_head)
+    from torch_semantic_segmentation_tpu.ops.upsample import resize_bilinear
+
+    rng = np.random.default_rng(3)
+    for (h, w, oh, ow, c) in [(8, 16, 64, 128, 19), (16, 32, 128, 256, 19),
+                              (13, 16, 104, 128, 19)]:
+        y = jnp.asarray(rng.normal(size=(2, h, w, c)), jnp.float32)
+        got = apply_packed_resize_conv_head(y, (oh, ow))
+        assert got is not None, (h, w, oh, ow)
+        want = resize_bilinear(y, (oh, ow))
+        np.testing.assert_allclose(np.asarray(got.unpack()),
+                                   np.asarray(want), atol=2e-6)
+    y = jnp.asarray(rng.normal(size=(1, 8, 16, 19)), jnp.float32)
+    # gradient parity (same interpolation weights → same adjoint)
+    g1 = jax.grad(lambda t: jnp.sum(
+        apply_packed_resize_conv_head(t, (64, 128)).unpack() ** 2))(y)
+    g2 = jax.grad(lambda t: jnp.sum(resize_bilinear(t, (64, 128)) ** 2))(y)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-4)
+    # fallbacks: non-periodic + too-few-packs
+    assert apply_packed_resize_conv_head(y, (64, 128),
+                                         align_corners=True) is None
+    y5 = jnp.asarray(rng.normal(size=(1, 4, 8, 5)), jnp.float32)
+    assert apply_packed_resize_conv_head(y5, (32, 64)) is None

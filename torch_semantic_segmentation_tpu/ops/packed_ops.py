@@ -582,6 +582,150 @@ def module_train_mode(module) -> bool:
     return False
 
 
+_RESIZE_PLANS: dict = {}
+
+
+def plan_packed_resize_w(w: int, ow: int, p: int, c: int,
+                         align_corners: bool):
+    """The ×k bilinear W-resize as ONE structured-kernel 1-D conv
+    emitting packed lanes directly — the same trick that makes the
+    packed DECONV heads win where the einsum resize head measured a
+    loss (docs/FULLRES_ROOFLINE.md round-4 table): the conv's channel
+    dim IS the packed lane row, so no (…, C)-minor intermediate and no
+    merge relayout ever exist.
+
+    Returns (kernel (1, win, c, p·c), w_stride, (pl, pr), left_corr,
+    right_corr) — all static numpy — or None when the interpolation
+    pattern is not pack-periodic (non-integer P·w/ow). The kernel is
+    built FROM `_interp_matrix` rows and verified against them exactly
+    (reconstruction assert), so the conv form is bit-identical in
+    weights to the einsum form; `left/right_corr` (c, p·c) add back the
+    border-clamp mass that zero-padding drops at the first/last pack.
+    """
+    from torch_semantic_segmentation_tpu.ops.upsample import _interp_matrix
+
+    if (p * w) % ow:
+        return None
+    s = (p * w) // ow                       # source step per output pack
+    key = (w, ow, p, c, align_corners)
+    if key in _RESIZE_PLANS:
+        return _RESIZE_PLANS[key]
+    m = np.asarray(_interp_matrix(w, ow, align_corners), np.float64)
+    k_packs = ow // p
+    # per-pack tap table relative to the pack anchor a_k = k·s
+    rel = []                                # list of (p, w)-shaped blocks
+    for k in range(k_packs):
+        block = np.zeros((p, 2 * s + 2), np.float64)
+        ok = True
+        for q in range(p):
+            row = m[k * p + q]
+            for src in np.nonzero(row)[0]:
+                d = src - k * s + s         # shift by +s so d >= 0 slots
+                if not 0 <= d < 2 * s + 2:
+                    ok = False
+                    break
+                block[q, d] += row[src]
+            if not ok:
+                break
+        rel.append(block if ok else None)
+    interior = [b for b in rel[1:-1] if b is not None]
+    if not interior:
+        # fewer than 3 packs: no interior to anchor the kernel on
+        _RESIZE_PLANS[key] = None
+        return None
+    kb = interior[0]
+    if any(b is None or not np.array_equal(b, kb) for b in interior):
+        _RESIZE_PLANS[key] = None
+        return None
+    dnz = np.nonzero(kb.any(axis=0))[0]
+    dmin, dmax = int(dnz.min()) - s, int(dnz.max()) - s
+    win = dmax - dmin + 1
+    pl, pr = max(0, -dmin), max(0, dmax - (s - 1) + (s - 1))
+    # conv geometry: output pack k reads input [k·s + dmin, k·s + dmax];
+    # with stride s over W, padding pl on the left and enough on the
+    # right to cover the last pack's dmax
+    pr = max(0, (k_packs - 1) * s + dmax - (w - 1))
+    # dense kernel (1, win, c, p·c): tap t ↦ d = dmin + t, per-channel
+    # diagonal (the resize mixes W, never channels)
+    kern = np.zeros((1, win, c, p * c), np.float32)
+    for q in range(p):
+        for d in range(2 * s + 2):
+            val = kb[q, d]
+            if val:
+                t = (d - s) - dmin
+                for j in range(c):
+                    kern[0, t, j, q * c + j] += val
+    # implied edge-pack weights under zero padding, vs the true clamped
+    # rows: the difference is the border mass → correction matmuls
+    def implied(k):
+        blk = np.zeros((p, w), np.float64)
+        for q in range(p):
+            for t in range(win):
+                src = k * s + dmin + t
+                if 0 <= src < w:
+                    blk[q, src] += kern[0, t, 0, q * c].astype(np.float64)
+        return blk
+
+    left_d = m[0:p, :] - implied(0)
+    right_d = m[(k_packs - 1) * p:, :] - implied(k_packs - 1)
+    # corrections must be confined to the border columns
+    if (np.abs(left_d[:, 1:]).max() > 1e-12
+            or np.abs(right_d[:, :-1]).max() > 1e-12):
+        _RESIZE_PLANS[key] = None
+        return None
+    lc = np.zeros((c, p * c), np.float32)
+    rc = np.zeros((c, p * c), np.float32)
+    for q in range(p):
+        for j in range(c):
+            lc[j, q * c + j] = left_d[q, 0]
+            rc[j, q * c + j] = right_d[q, w - 1]
+    plan = (kern, s, (pl, pr), lc, rc)
+    _RESIZE_PLANS[key] = plan
+    return plan
+
+
+def apply_packed_resize_conv_head(y: jax.Array, size: tuple[int, int],
+                                  align_corners: bool = False
+                                  ) -> "PackedLogits | None":
+    """Bilinear-upsample low-res logits to full-res `size` as PackedLogits
+    via the structured-conv W pass + an H einsum on the packed (lane-
+    clean) form. Exact same interpolation weights as `resize_bilinear`
+    (kernel scatter-built from `_interp_matrix` and verified against it);
+    same precision contract (fp32/HIGHEST, bf16/DEFAULT). Returns None
+    when no pack fits or the W pattern is not pack-periodic."""
+    from torch_semantic_segmentation_tpu.ops.upsample import _interp_matrix
+
+    n, h, w, c = y.shape
+    oh, ow = size
+    p = pick_head_pack(c, ow, 1)
+    if p is None or (oh, ow) == (h, w):
+        return None
+    plan = plan_packed_resize_w(w, ow, p, c, align_corners)
+    if plan is None:
+        return None
+    kern, s, (pl, pr), lc, rc = plan
+    dtype = y.dtype
+    if dtype == jnp.float32:
+        acc, prec = jnp.float32, jax.lax.Precision.HIGHEST
+    else:
+        acc, prec = dtype, jax.lax.Precision.DEFAULT
+    yy = y.astype(acc)
+    out = jax.lax.conv_general_dilated(
+        yy, jnp.asarray(kern, acc),
+        window_strides=(1, s), padding=((0, 0), (pl, pr)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec)                      # (n, h, ow/p, p·c)
+    lcj = jnp.asarray(lc, acc)
+    rcj = jnp.asarray(rc, acc)
+    out = out.at[:, :, 0, :].add(yy[:, :, 0, :] @ lcj)
+    out = out.at[:, :, -1, :].add(yy[:, :, -1, :] @ rcj)
+    # H pass on the packed form: minor dim is P·C (95% lane util)
+    wh = jnp.asarray(_interp_matrix(h, oh, align_corners), acc)
+    out = jnp.einsum("nhkm,oh->nokm", out, wh,
+                     preferred_element_type=acc, precision=prec)
+    return PackedLogits(out.astype(dtype), c)
+
+
 def apply_packed_resize_head(y: jax.Array, size: tuple[int, int],
                              align_corners: bool = False
                              ) -> "PackedLogits | None":
@@ -634,7 +778,9 @@ def maybe_packed_resize(y: jax.Array, size: tuple[int, int], *,
     overrides, TPU_SEG_PACKED=0 kills), falling back to the plain
     `ops.resize_bilinear` when unrouted or when no pack factor fits."""
     if route_packed_head(env_var, train_mode, default_on):
-        py = apply_packed_resize_head(y, size, align_corners)
+        py = apply_packed_resize_conv_head(y, size, align_corners)
+        if py is None:
+            py = apply_packed_resize_head(y, size, align_corners)
         if py is not None:
             return py
     from torch_semantic_segmentation_tpu.ops.upsample import resize_bilinear
