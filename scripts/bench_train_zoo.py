@@ -53,9 +53,11 @@ REMAT = bool(int(os.environ.get("ZOO_REMAT", "0")))
 # 46.3@b16, deeplabv3_resnet50 113.5@b16 vs 93.1@b32. Probed and kept
 # at the default ladder: enet 70.0@b32 > 61.3@b16, bisenet 208.5@b32 >
 # 195.3@b16, deeplabv3_resnet101 91.8@b16 > 75.4@b8.
-# With the shared packed full-res head (ops/packed_ops.py, on by
-# default in training mode): enet 80.2@b32, erfnet 73.7@b8,
-# esnet 52.4@b8 (re-measured 2026-08-19 at those sweet spots).
+# 2026-08-20 (round-4 defaults — packed bodies ON for enet/esnet,
+# packed resize heads OFF everywhere, measured A/Bs in
+# docs/FULLRES_ROOFLINE.md): the full table at HEAD is in README
+# ("model zoo" section); headline rows enet 134.8@b32, esnet 62.6@b8,
+# fastscnn 571.1@b32.
 PREFERRED_BATCH = {"unet": 8, "erfnet": 8, "esnet": 8, "lednet": 8,
                    "deeplabv3_resnet50": 16}
 
