@@ -126,9 +126,11 @@ def test_model_routing_env_flag(monkeypatch):
 
 def test_packed_input_aug_matches_nhwc(monkeypatch):
     """Packed-input aug API (round 4): AugmentConfig.pack emits
-    PackedImages whose unpack is BITWISE the NHWC aug output, and
-    FastSCNN consumes it identically on both the packed-LDS route (data
-    used directly) and the standard route (unpacked reshape)."""
+    PackedImages matching the NHWC aug output to f32 ulp (the blocked
+    W-warp einsum may compile with a different contraction grouping, so
+    the 2-hot sums can differ in the last bit; labels are exact), and
+    FastSCNN consumes it on both the packed-LDS route (data used
+    directly) and the standard route (unpacked reshape)."""
     import dataclasses
 
     from torch_semantic_segmentation_tpu.data.transforms import (
@@ -147,8 +149,8 @@ def test_packed_input_aug_matches_nhwc(monkeypatch):
     p_img, p_lbl = augment_batch(imgs, lbls, key, cfgp)
     assert isinstance(p_img, PackedImages)
     assert p_img.shape == a_img.shape
-    np.testing.assert_array_equal(np.asarray(p_img.unpack()),
-                                  np.asarray(a_img))
+    np.testing.assert_allclose(np.asarray(p_img.unpack()),
+                               np.asarray(a_img), rtol=0, atol=2e-6)
     np.testing.assert_array_equal(np.asarray(p_lbl), np.asarray(a_lbl))
 
     m = get_model("fastscnn", num_classes=7, rngs=nnx.Rngs(0))
@@ -157,6 +159,10 @@ def test_packed_input_aug_matches_nhwc(monkeypatch):
         monkeypatch.setenv("FASTSCNN_PACKED_LDS", lds_env)
         y_plain = m(a_img)
         y_packed = m(p_img)
-        np.testing.assert_array_equal(np.asarray(y_plain),
-                                      np.asarray(y_packed),
-                                      err_msg=f"FASTSCNN_PACKED_LDS={lds_env}")
+        # input-ulp differences propagate through the model; both routes
+        # (packed data consumed directly / unpacked reshape) must agree
+        # to forward-noise level
+        np.testing.assert_allclose(np.asarray(y_plain),
+                                   np.asarray(y_packed),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"FASTSCNN_PACKED_LDS={lds_env}")
