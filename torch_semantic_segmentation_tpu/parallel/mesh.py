@@ -93,10 +93,32 @@ def hybrid_batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(("dcn_data", "data")))
 
 
-def batch_sharding(mesh: Mesh, *, spatial_dim: int | None = None) -> NamedSharding:
-    """Sharding for NHWC batches: N over 'data', optionally H over 'spatial'."""
+def batch_sharding(mesh: Mesh, *, spatial_dim: int | None = None,
+                   input_extent: int | None = None,
+                   max_stride: int = 32) -> NamedSharding:
+    """Sharding for NHWC batches: N over 'data', optionally H over 'spatial'.
+
+    Sharding a spatial dim is gated by `check_spatial_extent` (round-4
+    finding: shards smaller than the deepest feature map silently
+    overcount the backward by the axis size — measured 4.000×). When
+    `spatial_dim` is set and the mesh's 'spatial' axis is >1, the input
+    extent along that dim is REQUIRED so the guard runs here, at the
+    public helper, not as an optional extra call (`shard_batch` derives
+    it from the array shape automatically). `max_stride` is the
+    network's deepest downsampling factor (32 covers every zoo model)."""
     if spatial_dim is None:
         return NamedSharding(mesh, P("data"))
+    n_spatial = dict(zip(mesh.axis_names, mesh.devices.shape)).get("spatial", 1)
+    if n_spatial > 1:
+        if input_extent is None:
+            raise ValueError(
+                "batch_sharding(spatial_dim=...) over a >1 'spatial' axis "
+                "requires input_extent=<size of the sharded dim> so the "
+                "degenerate-shard guard can run (empty shards at the "
+                "deepest stage corrupt gradients by the axis size — see "
+                "check_spatial_extent). Or use shard_batch, which reads "
+                "the extent off the array.")
+        check_spatial_extent(input_extent, n_spatial, max_stride=max_stride)
     spec = [None, None, None, None]
     spec[0] = "data"
     spec[spatial_dim] = "spatial"
@@ -134,10 +156,16 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def shard_batch(batch, mesh: Mesh, *, spatial: bool = False):
-    """Place (images NHWC, labels NHW) across the mesh."""
+def shard_batch(batch, mesh: Mesh, *, spatial: bool = False,
+                max_stride: int = 32):
+    """Place (images NHWC, labels NHW) across the mesh. With
+    `spatial=True` the H extent is validated against the 'spatial' axis
+    (degenerate-shard guard — see `batch_sharding`)."""
     images, labels = batch
     images = jax.device_put(
-        images, batch_sharding(mesh, spatial_dim=1 if spatial else None))
+        images, batch_sharding(
+            mesh, spatial_dim=1 if spatial else None,
+            input_extent=images.shape[1] if spatial else None,
+            max_stride=max_stride))
     labels = jax.device_put(labels, label_sharding(mesh, spatial=spatial))
     return images, labels
