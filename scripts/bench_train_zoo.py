@@ -73,7 +73,11 @@ def build_zoo_step(name: str, crop: int):
     model = get_model(name, 19, dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
     tx = OptimizerConfig(lr=0.045, max_steps=1000).make()
     gd_train, _, state = create_train_state(model, tx)
-    loss_fn = build_loss("ce", ignore_index=255, aux_weight=0.4,
+    # ZOO_LOSS=ohem measures the OHEM training tail (the round-5 A/B
+    # context for the packed resize heads: OHEM's per-pixel map breaks
+    # the plain-CE resize→loss fusion that voided their premise)
+    loss_fn = build_loss(os.environ.get("ZOO_LOSS", "ce"),
+                         ignore_index=255, aux_weight=0.4,
                          class_weights=None)
     inner = make_train_step(gd_train, tx, loss_fn, jit=False, remat=REMAT)
     aug_cfg = AugmentConfig(crop=(crop, crop), out_dtype=jnp.bfloat16)

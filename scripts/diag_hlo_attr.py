@@ -130,6 +130,38 @@ def footprint_bytes(d: dict, instrs: dict) -> int:
     return total
 
 
+def classify(d: dict | None, body: list, name: str) -> str:
+    """Coarse per-component category for the rollup table."""
+    if d is None:
+        return "untracked"
+    ops = collections.Counter(op for op, _ in body) if body else \
+        collections.Counter({d["op"]: 1})
+    if d["op"] == "custom-call":
+        return "pallas-kernel"
+    if d["op"] in ("copy", "reverse", "transpose", "bitcast"):
+        return "relayout-copy"
+    if "convolution" in ops:
+        out = d["shape"]
+        # weight-gradient convs write kernel-shaped f32 outputs
+        if re.match(r"\(?f32\[[0-9]+,[0-9]+,", out) and "768" not in out \
+                and "reduce" not in ops:
+            return "conv-wgrad+update" if "add" in ops and "multiply" in ops \
+                else "conv-wgrad"
+        if "reduce" in ops:
+            return "conv+bn-stat"
+        return "conv"
+    if "reduce" in ops:
+        return "bn-stat/grad-reduce"
+    if "rng" in name or "shift-right-logical" in ops:
+        return "rng"
+    if ops and not (set(ops) - {"broadcast", "convert", "multiply", "add",
+                                "subtract", "select", "compare", "clamp",
+                                "maximum", "minimum", "copy", "slice",
+                                "exp", "divide", "and", "reshape"}):
+        return "elementwise"
+    return "other"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["fullres", "crop"], default=None)
@@ -228,6 +260,24 @@ def main() -> None:
     n = args.steps
     print(f"# {label} b{batch}; device track {track}; "
           f"total {total_us / 1e3 / n:.1f} ms/step over {n} steps")
+
+    # category rollup over ALL events (not just --top): the per-component
+    # composition table for docs/FULLRES_ROOFLINE.md
+    cats: collections.Counter = collections.Counter()
+    cat_bytes: collections.Counter = collections.Counter()
+    for name, us in agg.items():
+        d = instrs.get(name)
+        body = comps.get(d.get("calls", ""), []) if d else []
+        cat = classify(d, body, name)
+        cats[cat] += us
+        if d is not None:
+            cat_bytes[cat] += footprint_bytes(d, instrs) * n
+    print(f"{'ms/step':>8} {'%':>5}  {'GB/s':>6}  category")
+    for cat, us in cats.most_common():
+        gbps = cat_bytes[cat] / us / 1e3 if us else 0.0
+        print(f"{us / 1e3 / n:8.2f} {100 * us / total_us:5.1f}  "
+              f"{gbps:6.0f}  {cat}")
+    print()
     print(f"{'ms/step':>8} {'%':>5}  {'GB/s':>6}  name / kind / out / ops")
     shown = 0
     for name, us in agg.most_common():

@@ -86,12 +86,19 @@ def main():
     # whole-network packed BODY (ENet), and an OHEM run; enet+ohem also
     # exercises the packed per-pixel OHEM map (losses.ohem_cross_entropy
     # on PackedLogits) end to end on chip.
+    # VERDICT r4 next #3 (round 5): every default-ON packed family gets
+    # an on-chip convergence run — esnet + erfnet whole-network packed
+    # bodies (erfnet default-ON since the round-5 structured-build A/B)
+    # and the unet full-res W-packed rim (deconv variant is the default).
     runs = []
     for name, model, extra in (
             ("default", "fastscnn", ()),
             ("fused_resize_pallas_ce", "fastscnn", ("--fused-resize-loss",)),
             ("enet_packed_body", "enet", ()),
-            ("enet_ohem_packed_map", "enet", ("--loss", "ohem"))):
+            ("enet_ohem_packed_map", "enet", ("--loss", "ohem")),
+            ("esnet_packed_body", "esnet", ()),
+            ("erfnet_packed_body", "erfnet", ()),
+            ("unet_packed_rim", "unet", ())):
         curve = _train_run(model, extra)
         best = max((p["val_miou"] for p in curve), default=None)
         runs.append({

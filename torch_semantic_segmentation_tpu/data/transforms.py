@@ -210,18 +210,29 @@ def augment_batch(
     normalised, labels (N,ch,cw) int32)."""
     n, h, w, _ = images.shape
     ch, cw = cfg.crop
-    ks = jax.random.split(key, 8)
+    # ONE batched threefry draw for all per-sample parameters. The
+    # previous split(key, 8) + eight tiny uniform((n,)) draws cost nine
+    # separate threefry invocations; on TPU each tiny invocation pays a
+    # ~1.3 ms fixed cost (measured round 5, scripts/diag_hlo_attr.py:
+    # 11.7 ms/step of 'rng' at ~1 GB/s in the UNet b8 step — 4.8% of the
+    # step for eight scalars per image). A single (8, n) draw is one
+    # invocation; rows are affine-mapped to each parameter's range below
+    # (identical distributions; the realized stream differs from the
+    # round-4 scheme, which only changes which random numbers a given
+    # seed produces, not their law — the (seed, epoch) resumability
+    # contract is unchanged).
+    u = jax.random.uniform(key, (8, n))
     smin, smax = cfg.scale_range
-    scale = jax.random.uniform(ks[0], (n,), minval=smin, maxval=smax)
+    scale = smin + u[0] * (smax - smin)
     # crop offset uniform in [0, max(scaled - crop, 0)] per axis
     max_oy = jnp.maximum(scale * h - ch, 0.0)
     max_ox = jnp.maximum(scale * w - cw, 0.0)
-    oy = jax.random.uniform(ks[1], (n,)) * max_oy
-    ox = jax.random.uniform(ks[2], (n,)) * max_ox
+    oy = u[1] * max_oy
+    ox = u[2] * max_ox
     # centre when the scaled image is smaller than the crop
     oy = jnp.where(scale * h < ch, (scale * h - ch) / 2.0, oy)
     ox = jnp.where(scale * w < cw, (scale * w - cw) / 2.0, ox)
-    flip = jax.random.uniform(ks[3], (n,)) < cfg.hflip_prob
+    flip = u[3] < cfg.hflip_prob
 
     # bf16 sampling matrices on TPU (MXU-native; ≤1 uint8 LSB of rounding,
     # immaterial for augmentation), fp32 elsewhere (test exactness on CPU)
@@ -234,13 +245,10 @@ def augment_batch(
                                    cfg.pack)
 
     if cfg.brightness or cfg.contrast or cfg.saturation or cfg.hue:
-        b = jax.random.uniform(ks[4], (n,), minval=1 - cfg.brightness,
-                               maxval=1 + cfg.brightness)
-        c = jax.random.uniform(ks[5], (n,), minval=1 - cfg.contrast,
-                               maxval=1 + cfg.contrast)
-        s = jax.random.uniform(ks[6], (n,), minval=1 - cfg.saturation,
-                               maxval=1 + cfg.saturation)
-        hshift = jax.random.uniform(ks[7], (n,), minval=-cfg.hue, maxval=cfg.hue)
+        b = 1 - cfg.brightness + u[4] * (2 * cfg.brightness)
+        c = 1 - cfg.contrast + u[5] * (2 * cfg.contrast)
+        s = 1 - cfg.saturation + u[6] * (2 * cfg.saturation)
+        hshift = -cfg.hue + u[7] * (2 * cfg.hue)
         # per-sample scalars at the image dtype: an f32 scalar operand
         # would promote the whole elementwise chain (and its full-res
         # intermediates) back to f32

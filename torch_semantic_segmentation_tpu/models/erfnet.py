@@ -112,20 +112,19 @@ class ERFNet(nnx.Module):
         h, w = x.shape[1], x.shape[2]
         if h % 8 or w % 8:
             raise ValueError(f"ERFNet needs H and W divisible by 8; got {h}x{w}")
-        # Whole-network packed region (ops/packed_erf.py): MEASURED
-        # NEGATIVE for ERFNet — the zoo A/B lost 12% with the body
-        # routed (72.3 → 63.4 img/s at b8 768², 2026-08-20 v5lite; the
-        # /8 dilated trunk dominates ERFNet's step, so the packed /2,/4
-        # rim only adds scatter-kernel overhead), so the default stays
-        # head-only; TPU_SEG_PACKED_ERFNET_BODY=1 opts in (parity tests
-        # use it). ESNet keeps the body default-ON: its measured A/B is
-        # a +19% WIN (52.4 → 62.6 img/s — wider /4 stage, shallower
-        # trunk).
+        # Whole-network packed region (ops/packed_erf.py): default ON
+        # since round 5. The round-4 A/B measured the body −12% (72.3 →
+        # 63.4 b8) and turned it off, but the loss was entirely the
+        # gather/scatter KERNEL-BUILD plumbing, not the packed layout:
+        # with the structured static-slice build
+        # (packed_ops._Plan.kernel, round 5) the same body measures
+        # 73.2 → 144.1 img/s (+97%, b8 768², 2026-08-20 v5lite same-day
+        # pair). TPU_SEG_PACKED_ERFNET_BODY=0 opts out.
         from torch_semantic_segmentation_tpu.ops import packed_erf, packed_ops
 
         train_mode = not self.encoder[0].bn.use_running_average
         if (packed_ops.route_packed_head("TPU_SEG_PACKED_ERFNET_BODY",
-                                         train_mode, default_on=False)
+                                         train_mode)
                 and packed_erf.supports(self, x.shape)):
             return packed_erf.forward(self, x)
         for blk in self.encoder:

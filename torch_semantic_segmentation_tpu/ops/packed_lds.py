@@ -87,12 +87,25 @@ def repack(x: jax.Array, c: int, p: int) -> jax.Array:
     return pack(x.reshape(n, h, wp * (pc // c), c), p)
 
 
+def _structured() -> bool:
+    """Round 5: packed kernels are assembled by static-slice slab
+    placement by default. The original flat gather + scatter-add lowers
+    on TPU to s32 index-unpack + gather/scatter pairs in a [n,1] layout
+    (1 of 128 lanes — measured ~1-3 ms per build site per step,
+    scripts/diag_hlo_attr.py); the static form lowers to pad/add
+    fusions. TPU_SEG_STRUCTURED_KERNEL_BUILD=0 restores the old path
+    for A/Bs."""
+    import os
+
+    return os.environ.get("TPU_SEG_STRUCTURED_KERNEL_BUILD", "1") != "0"
+
+
 def _scatter_kernel(k: jax.Array, c_in: int, c_out: int, p_out: int,
                     depthwise: bool) -> jax.Array:
     """Build the packed (3, 2, P_in·C_in, P_out·C_out) kernel from a 3×3
     weight. `k` is HWIO: (3, 3, C_in, C_out) for the stem, (3, 3, 1, C)
-    for depthwise. Traced — gradients flow back to `k` via the gather
-    transpose of the scatter-add."""
+    for depthwise. Traced — gradients flow back to `k` through the
+    build (static slices by default, gather/scatter fallback)."""
     p_in = 2 * p_out
     kh, kw = 3, 3
     # static index plan (numpy, built once per trace)
@@ -102,6 +115,20 @@ def _scatter_kernel(k: jax.Array, c_in: int, c_out: int, p_out: int,
     m = 2 * qq + ww - 1                               # in-pack W offset
     d = (m >= 0).astype(np.int64)                     # 0 → left neighbor
     r = np.where(m >= 0, m, p_in - 1)                 # row position in pack
+    if _structured():
+        if depthwise:
+            # diagonal dense expansion via eye mask (fuses, no scatter):
+            # d4[.., ci, co] = k[.., 0, ci]·δ(ci, co)
+            d4 = k[:, :, 0, :, None] * jnp.eye(c_in, dtype=k.dtype)
+        else:
+            d4 = k
+        pk = jnp.zeros((kh, 2, p_in * c_in, p_out * c_out), k.dtype)
+        for qi in range(p_out):
+            for wi in range(kw):
+                pk = pk.at[:, int(d[qi, wi]),
+                           int(r[qi, wi]) * c_in:(int(r[qi, wi]) + 1) * c_in,
+                           qi * c_out:(qi + 1) * c_out].add(d4[:, wi])
+        return pk
     if depthwise:
         c = np.arange(c_in)
         # rows: (p_out, 3, C) — input lane r*C+c; cols: q*C+c
@@ -132,6 +159,12 @@ def _block_diag_kernel(w: jax.Array, p: int) -> jax.Array:
     """1×1 conv weight (1, 1, C_in, C_out) → (1, 1, P·C_in, P·C_out)
     block-diagonal packed kernel."""
     c_in, c_out = w.shape[2], w.shape[3]
+    if _structured():
+        # kron(eye(p), w): one broadcast multiply, no scatter
+        eye = jnp.eye(p, dtype=w.dtype)[:, None, :, None]
+        pk = (eye * w[0, 0][None, :, None, :]).reshape(
+            1, 1, p * c_in, p * c_out)
+        return pk
     ci = np.arange(c_in)
     co = np.arange(c_out)
     cc_i, cc_o = np.meshgrid(ci, co, indexing="ij")

@@ -58,7 +58,7 @@ from torch_semantic_segmentation_tpu.ops.packed_lds import (  # noqa: F401
 
 @dataclasses.dataclass(frozen=True)
 class _Plan:
-    """A packed conv as one standard XLA conv: scatter plan + call params."""
+    """A packed conv as one standard XLA conv: build plan + call params."""
 
     kernel_shape: tuple[int, int, int, int]      # (kh, win, in_lanes, out_lanes)
     th: np.ndarray                               # scatter indices (flat)
@@ -73,10 +73,52 @@ class _Plan:
     padding: tuple[tuple[int, int], tuple[int, int]]
     rhs_dilation: tuple[int, int]
     lhs_dilation: tuple[int, int]
+    # structured-build metadata (round 5): the gather/scatter indices
+    # above are BLOCKWISE — every (q, t) pair places one whole
+    # (kh, c_in, c_out) slab at static offsets — so the kernel can be
+    # assembled from static-slice adds instead of flat gathers.
+    entries: tuple[tuple[int, int, int, int], ...] = ()   # (t, dd, r, q)
+    flip_h: bool = False
+    c_in: int = 0
+    c_out: int = 0
+    groups: int = 1
+
+    def _dense4(self, k: jax.Array) -> jax.Array:
+        """Dense (kh, kw, c_in, c_out) expansion of a grouped HWIO
+        kernel — group g owns input block [g·cig, (g+1)·cig) and output
+        block [g·cog, (g+1)·cog); built by an eye-mask broadcast (no
+        scatter; fuses into the placement adds)."""
+        if self.groups == 1:
+            return k
+        kh, kw = k.shape[0], k.shape[1]
+        g = self.groups
+        cig, cog = self.c_in // g, self.c_out // g
+        kg = k.reshape(kh, kw, 1, cig, g, cog)
+        eye = jnp.eye(g, dtype=k.dtype)[:, None, :, None]   # (g,1,g,1)
+        return (kg * eye).reshape(kh, kw, self.c_in, self.c_out)
 
     def kernel(self, k: jax.Array) -> jax.Array:
         """Build the packed kernel from the layer's real HWIO weights.
-        Traced: grads flow back to `k` through the gather/scatter."""
+        Traced: grads flow back to `k` through the build.
+
+        Default path (round 5): static-slice slab placement. The
+        original flat gather + scatter-add is kept behind
+        TPU_SEG_STRUCTURED_KERNEL_BUILD=0 — measured on-chip it lowers
+        to s32 index unpack + gather/scatter pairs in a [n,1] layout
+        using 1 of 128 lanes (~11.7 ms/step across the UNet b8 rim,
+        scripts/diag_hlo_attr.py round-5 trace); the static form lowers
+        to pad/add fusions and reverses cleanly in the VJP."""
+        if self.entries and os.environ.get(
+                "TPU_SEG_STRUCTURED_KERNEL_BUILD", "1") != "0":
+            d4 = self._dense4(k)
+            if self.flip_h:
+                d4 = jnp.flip(d4, 0)
+            ci, co = self.c_in, self.c_out
+            pk = jnp.zeros(self.kernel_shape, k.dtype)
+            for t, dd, r, q in self.entries:
+                pk = pk.at[:, dd, r * ci:(r + 1) * ci,
+                           q * co:(q + 1) * co].add(d4[:, t])
+            return pk
         vals = k[self.k_th, self.k_tw, self.k_ci, self.k_co]
         pk = jnp.zeros(self.kernel_shape, k.dtype)
         return pk.at[self.th, self.dd, self.rows, self.cols].add(vals)
@@ -162,6 +204,9 @@ def plan_packed_conv(
     # replicate across kh
     e = dd.size
     th = np.repeat(np.arange(kh), e)
+    entries = tuple(
+        (int(tt_), int(dd_), int(r_), int(q_))
+        for q_, tt_, dd_, r_ in zip(q_w, t_w, dd_w, r_w))
     return _Plan(
         kernel_shape=(kh, win, p_in * c_in, p_out * c_out),
         th=th, dd=np.tile(dd, kh), rows=np.tile(rows, kh),
@@ -172,6 +217,8 @@ def plan_packed_conv(
         padding=((ph, ph), (-d_min, d_max)),
         rhs_dilation=(dh, 1),
         lhs_dilation=(1, 1),
+        entries=entries, flip_h=False, c_in=c_in, c_out=c_out,
+        groups=groups,
     )
 
 
@@ -244,6 +291,9 @@ def plan_packed_deconv(
     # ops.conv.ConvTranspose2d's padding (kh-1-ph, kh-1-ph+oph)).
     th_scatter = np.repeat(np.arange(kh), n)
     th_gather = np.repeat(kh - 1 - np.arange(kh), n)
+    entries = tuple(
+        (int(t_), int(d_) - d_min, int(r_), int(q_))
+        for (q_, t_, _), d_, r_ in zip(entries, delta, r))
     return _Plan(
         kernel_shape=(kh, win, eff_p_in * c_in, p_out * c_out),
         th=th_scatter, dd=np.tile(dd, kh), rows=np.tile(rows, kh),
@@ -254,6 +304,7 @@ def plan_packed_deconv(
         padding=((kh - 1 - ph, kh - 1 - ph + oph), w_pad),
         rhs_dilation=(1, 1),
         lhs_dilation=(sh, 1),
+        entries=entries, flip_h=True, c_in=c_in, c_out=c_out, groups=1,
     )
 
 
