@@ -98,6 +98,7 @@ def main():
             ("enet_ohem_packed_map", "enet", ("--loss", "ohem")),
             ("esnet_packed_body", "esnet", ()),
             ("erfnet_packed_body", "erfnet", ()),
+            ("lednet_packed_body", "lednet", ()),
             ("unet_packed_rim", "unet", ())):
         curve = _train_run(model, extra)
         best = max((p["val_miou"] for p in curve), default=None)

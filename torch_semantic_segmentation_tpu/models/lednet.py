@@ -156,8 +156,13 @@ class LEDNet(nnx.Module):
         h, w = x.shape[1], x.shape[2]
         if h % 16 or w % 16:
             raise ValueError(f"LEDNet needs H and W divisible by 16; got {h}x{w}")
-        for blk in self.encoder:
-            x = blk(x)
+        if self._route_packed_body(x):
+            from torch_semantic_segmentation_tpu.ops import packed_lednet
+
+            x = packed_lednet.encoder_forward(self, x)
+        else:
+            for blk in self.encoder:
+                x = blk(x)
         y = self.apn(x)
         if self.upsample_logits:
             # Packed resize head (ops/packed_ops.py): the ×8 bilinear
@@ -177,6 +182,22 @@ class LEDNet(nnx.Module):
                 # opts in (parity tests)
                 default_on=False)
         return y
+
+    def _route_packed_body(self, x: jax.Array) -> bool:
+        """Whole-encoder W-packed region (ops/packed_lednet.py): the
+        SS-nbt split halves run 16/32/64-channel tensors that NHWC lane
+        tiling pads 8×/4×/2× — per-HLO attribution measured the step
+        pure bandwidth-bound at ~86 GB/s per fusion. Packed: 52.3 →
+        157.4 img/s (+201%, b8 768², 2026-08-20 v5lite same-day pair).
+        Training mode on TPU by default; TPU_SEG_PACKED_LEDNET_BODY
+        overrides — the same contract as the ENet/ERFNet bodies."""
+        from torch_semantic_segmentation_tpu.ops import packed_lednet, packed_ops
+
+        if not packed_ops.route_packed_head(
+                "TPU_SEG_PACKED_LEDNET_BODY",
+                packed_ops.module_train_mode(self)):
+            return False
+        return packed_lednet.supports(self, x.shape)
 
 
 def lednet(num_classes: int = 19, *, upsample_logits: bool = True,
