@@ -53,11 +53,12 @@ REMAT = bool(int(os.environ.get("ZOO_REMAT", "0")))
 # 46.3@b16, deeplabv3_resnet50 113.5@b16 vs 93.1@b32. Probed and kept
 # at the default ladder: enet 70.0@b32 > 61.3@b16, bisenet 208.5@b32 >
 # 195.3@b16, deeplabv3_resnet101 91.8@b16 > 75.4@b8.
-# 2026-08-20 (round-4 defaults — packed bodies ON for enet/esnet,
-# packed resize heads OFF everywhere, measured A/Bs in
-# docs/FULLRES_ROOFLINE.md): the full table at HEAD is in README
-# ("model zoo" section); headline rows enet 134.8@b32, esnet 62.6@b8,
-# fastscnn 571.1@b32.
+# 2026-08-20 round 5 (structured kernel build + packed bodies ON for
+# enet/esnet/erfnet/lednet, resize heads OFF everywhere — A/Bs in
+# docs/FULLRES_ROOFLINE.md round-5): b8 re-confirmed as the sweet spot
+# for the packed bodies (esnet 136.4@b8 > 129.0@b16, erfnet 144.1@b8 >
+# 131.1@b16, lednet 157.4@b8 > 148.2@b16 > 128.7@b32, unet 35.3@b8 >
+# 24.8@b12 > 22.0@b10). Full table at HEAD in README ("model zoo").
 PREFERRED_BATCH = {"unet": 8, "erfnet": 8, "esnet": 8, "lednet": 8,
                    "deeplabv3_resnet50": 16}
 

@@ -573,9 +573,14 @@ def route_packed_head(env_var: str, train_mode: bool,
 
     `default_on=False` is the MEASURED-NEGATIVE position: the path stays
     available behind an explicit `<env_var>=1` but never routes by
-    default (2026-08-20 zoo A/B on v5lite, 768² crops: BiSeNet packed
-    heads 207.2 → 160.3 img/s b32, ERFNet packed body 72.3 → 63.4 img/s
-    b8 — see README zoo notes)."""
+    default. Round 5 status: the packed RESIZE heads hold this position
+    in every measured context — plain CE (BiSeNet 207.2 → 160.3 b32,
+    FastSCNN −25%, round-4 table), OHEM (FastSCNN 559.2 → 513.8 b32)
+    and OHEM+aux (BiSeNet 201.4 → 190.8 b32), all 2026-08-20 v5lite —
+    a closed dead end, not a pending A/B (docs/FULLRES_ROOFLINE.md
+    round-5). The round-4 ERFNet packed-BODY negative (72.3 → 63.4)
+    was by contrast an artifact of the gather/scatter kernel build and
+    flipped to +97% default-ON with the structured build."""
     env = os.environ.get(env_var)
     if env == "0" or not enabled(env_var):
         return False
@@ -840,9 +845,17 @@ def maybe_packed_resize(y: jax.Array, size: tuple[int, int], *,
                         align_corners: bool, env_var: str,
                         train_mode: bool, default_on: bool = True):
     """The `upsample_logits` tail shared by the zoo models: route the
-    packed resize head (training mode on TPU by default; `env_var`
-    overrides, TPU_SEG_PACKED=0 kills), falling back to the plain
-    `ops.resize_bilinear` when unrouted or when no pack factor fits."""
+    packed resize head when forced, falling back to the plain
+    `ops.resize_bilinear` when unrouted or when no pack factor fits.
+
+    RETIRED DEAD END (round 5): every caller passes default_on=False
+    and no measured context favors these heads — plain CE fuses the
+    resize matmul into the loss so the padded full-res tensor never
+    reaches HBM (the heads' premise), and the contexts that break that
+    fusion ALSO lose (OHEM −8%, OHEM+aux −5%, 2026-08-20 A/Bs —
+    docs/FULLRES_ROOFLINE.md round-5). Both head forms stay behind
+    `<env_var>=1` purely as tested infrastructure (the parity tests
+    force them); nothing routes them by default."""
     if route_packed_head(env_var, train_mode, default_on):
         py = apply_packed_resize_conv_head(y, size, align_corners)
         if py is None:
