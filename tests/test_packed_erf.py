@@ -46,8 +46,12 @@ def test_packed_body_forward_parity(name, monkeypatch):
     np.testing.assert_allclose(out_p.unpack(), out_ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", MODELS)
 def test_packed_body_train_grad_stats_dropout_parity(name, monkeypatch):
+    # slow-tier since round 5 (VERDICT r4 next #7): the f64 grad-parity
+    # class keeps ONE fast representative — test_packed_enet.py's —
+    # while this family's forward/BN-stat parity stays fast above.
     """TRAIN-mode parity: loss, every parameter gradient, and the
     updated BN running stats match the plain path with per-element
     dropout ACTIVE — the packed dropout consumes the same RNG keys and,

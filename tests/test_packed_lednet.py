@@ -13,6 +13,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import nnx
 
 from torch_semantic_segmentation_tpu.losses import cross_entropy_loss
@@ -43,8 +44,12 @@ def test_packed_encoder_forward_parity(monkeypatch):
     np.testing.assert_allclose(out_p, out_ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_encoder_train_grad_stats_dropout_parity(monkeypatch):
-    """TRAIN-mode parity in f64: loss, every parameter gradient, and
+    """TRAIN-mode parity in f64 (slow tier — VERDICT r4 next #7: the
+    f64 grad-parity class keeps test_packed_enet.py's as the one fast
+    representative; LEDNet's forward/BN-stat parity stays fast above):
+    loss, every parameter gradient, and
     the updated BN running stats match the plain path with per-element
     dropout ACTIVE (threefry masks are reshape-invariant, so the packed
     draw is the identical logical mask)."""
